@@ -2,15 +2,21 @@
 
 Multi-chip TPU hardware is not available in CI; per SURVEY.md §4 the
 multi-device story is tested with XLA's host-platform device virtualization.
-Must run before jax is imported anywhere.
+
+Note: the environment's axon sitecustomize registers a TPU PJRT plugin and
+sets jax_platforms='axon,cpu' at interpreter start, overriding JAX_PLATFORMS
+from the environment -- so we must override via jax.config AFTER import.
+XLA_FLAGS must still be set before the first backend initialization.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

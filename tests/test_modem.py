@@ -1,0 +1,181 @@
+"""Frame-level modem loopback tests vs the golden oracle.
+
+The TPU-side equivalent of the reference's qa_ofdm_txrx.py integration tests
+(SURVEY.md §4): full TX -> channel_model -> RX, assert recovered bytes ==
+sent bytes under AWGN/CFO/multipath, and TX output bit-matches the golden
+model (BASELINE.json correctness bound).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from golden import golden_ofdm as G
+from tpu_ofdm.config import OfdmConfig
+from tpu_ofdm.modem.rx import demod_frame, rx_block
+from tpu_ofdm.modem.tx import tx_frame, tx_frames
+from tpu_ofdm.ops.channel import channel_model
+
+PAYLOAD = b"The quick brown fox jumps over the lazy dog! 0123456789"
+
+
+def _tx(cfg, payload=PAYLOAD, frame_num=3):
+    spec = cfg.spec
+    buf = np.zeros(cfg.max_payload_bytes - 4, np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    return jax.jit(lambda p, l: tx_frame(spec, p, l, frame_num))(
+        jnp.asarray(buf), len(payload)
+    )
+
+
+@pytest.mark.parametrize("m", ["bpsk", "qpsk", "qam16", "qam64"])
+def test_tx_matches_golden(m):
+    cfg = OfdmConfig(modulation=m, max_payload_bytes=64)
+    txr = _tx(cfg)
+    gp = G.GoldenOfdmParams(modulation=m)
+    want = G.tx_frame(gp, PAYLOAD, frame_num=3)
+    n = int(txr.n_samples)
+    assert n == len(want)
+    np.testing.assert_allclose(
+        np.asarray(txr.samples[:n]), want.astype(np.complex64), atol=2e-5
+    )
+    # padding region (if any) is silent
+    tail = np.asarray(txr.samples[n:])
+    assert tail.size == 0 or float(np.max(np.abs(tail))) == 0.0
+
+
+@pytest.mark.parametrize("m", ["bpsk", "qpsk", "qam16", "qam64"])
+def test_loopback_clean(m):
+    cfg = OfdmConfig(modulation=m, max_payload_bytes=64)
+    spec = cfg.spec
+    txr = _tx(cfg)
+    stream = jnp.concatenate(
+        [jnp.zeros(300, jnp.complex64), txr.samples, jnp.zeros(300, jnp.complex64)]
+    )
+    res = jax.jit(lambda s: rx_block(spec, s, max_frames=4))(stream)
+    v = np.asarray(res.valid)
+    assert v.sum() == 1
+    i = int(np.argmax(v))
+    f = jax.tree.map(lambda x: np.asarray(x)[i], res.frames)
+    assert f.crc_ok and f.hdr_ok
+    assert int(f.payload_len) == len(PAYLOAD)
+    assert bytes(f.payload[: len(PAYLOAD)]) == PAYLOAD
+    assert int(f.frame_num) == 3
+    assert float(f.evm) < 1e-5
+
+
+@pytest.mark.parametrize(
+    "m,snr", [("bpsk", 15), ("qpsk", 20), ("qam16", 25), ("qam64", 32)]
+)
+def test_loopback_awgn(m, snr):
+    cfg = OfdmConfig(modulation=m, max_payload_bytes=64)
+    spec = cfg.spec
+    txr = _tx(cfg)
+    stream = jnp.concatenate(
+        [jnp.zeros(256, jnp.complex64), txr.samples, jnp.zeros(256, jnp.complex64)]
+    )
+    rx = channel_model(jax.random.PRNGKey(7), stream, snr_db=snr,
+                       fft_len=cfg.fft_len)
+    res = jax.jit(lambda s: rx_block(spec, s, max_frames=4))(rx)
+    v = np.asarray(res.valid)
+    assert v.sum() >= 1
+    i = int(np.argmax(v))
+    f = jax.tree.map(lambda x: np.asarray(x)[i], res.frames)
+    assert f.crc_ok
+    assert bytes(f.payload[: len(PAYLOAD)]) == PAYLOAD
+
+
+def test_loopback_cfo_fractional_and_integer():
+    cfg = OfdmConfig(modulation="qpsk", max_payload_bytes=64)
+    spec = cfg.spec
+    txr = _tx(cfg)
+    stream = jnp.concatenate(
+        [jnp.zeros(256, jnp.complex64), txr.samples, jnp.zeros(256, jnp.complex64)]
+    )
+    rx = channel_model(jax.random.PRNGKey(3), stream, snr_db=28, cfo=2.2,
+                       fft_len=cfg.fft_len, phase=0.7)
+    res = jax.jit(lambda s: rx_block(spec, s, max_frames=4))(rx)
+    v = np.asarray(res.valid)
+    assert v.sum() >= 1
+    i = int(np.argmax(v))
+    f = jax.tree.map(lambda x: np.asarray(x)[i], res.frames)
+    assert f.crc_ok
+    assert bytes(f.payload[: len(PAYLOAD)]) == PAYLOAD
+    assert int(f.int_cfo) == 2
+    assert abs(float(np.asarray(res.fine_cfo)[i]) - 0.2) < 0.03
+
+
+@pytest.mark.parametrize("equalizer", ["pilot_phase", "simpledfe"])
+def test_loopback_multipath(equalizer):
+    cfg = OfdmConfig(modulation="qam16", max_payload_bytes=64)
+    spec = cfg.spec
+    txr = _tx(cfg)
+    stream = jnp.concatenate(
+        [jnp.zeros(256, jnp.complex64), txr.samples, jnp.zeros(256, jnp.complex64)]
+    )
+    taps = jnp.asarray([1.0, 0.0, 0.35 + 0.2j, 0.0, 0.1j], jnp.complex64)
+    rx = channel_model(jax.random.PRNGKey(5), stream, snr_db=30, taps=taps,
+                       fft_len=cfg.fft_len)
+    res = jax.jit(
+        lambda s: rx_block(spec, s, max_frames=4, equalizer=equalizer)
+    )(rx)
+    v = np.asarray(res.valid)
+    assert v.sum() >= 1
+    i = int(np.argmax(v))
+    f = jax.tree.map(lambda x: np.asarray(x)[i], res.frames)
+    assert f.crc_ok
+    assert bytes(f.payload[: len(PAYLOAD)]) == PAYLOAD
+
+
+def test_demod_matches_golden_rx():
+    """Feed the SAME impaired capture to both RX implementations; the
+    recovered constellation points must agree closely (EVM-level parity,
+    BASELINE.json 'within the reference's EVM/SNR bound')."""
+    cfg = OfdmConfig(modulation="qpsk", max_payload_bytes=64)
+    spec = cfg.spec
+    gp = G.GoldenOfdmParams(modulation="qpsk")
+    gtx = G.tx_frame(gp, PAYLOAD, frame_num=3)
+    sig = np.concatenate([np.zeros(128), gtx, np.zeros(128)])
+    cap = G.channel(sig, snr_db=25, cfo=0.15, fft_len=64, seed=11)
+
+    gres = G.rx_frame(gp, cap)
+    assert gres is not None and gres["crc_ok"]
+
+    res = jax.jit(lambda s: rx_block(spec, s, max_frames=4))(
+        jnp.asarray(cap, jnp.complex64)
+    )
+    v = np.asarray(res.valid)
+    assert v.sum() == 1
+    i = int(np.argmax(v))
+    f = jax.tree.map(lambda x: np.asarray(x)[i], res.frames)
+    assert f.crc_ok
+    assert bytes(f.payload[: len(PAYLOAD)]) == PAYLOAD
+    # EVM parity within 2x of golden (different timing backoff is allowed)
+    assert float(f.evm) < max(2.0 * gres["evm"], 0.05)
+
+
+def test_batched_tx():
+    cfg = OfdmConfig(modulation="qpsk", max_payload_bytes=64)
+    spec = cfg.spec
+    b = 4
+    rng = np.random.RandomState(0)
+    bufs = rng.randint(0, 256, size=(b, cfg.max_payload_bytes - 4)).astype(np.uint8)
+    lens = np.array([10, 20, 30, 60], np.int32)
+    frames = jax.jit(lambda p, l, n: tx_frames(spec, p, l, n))(
+        jnp.asarray(bufs), jnp.asarray(lens), jnp.arange(b)
+    )
+    assert frames.samples.shape == (b, spec.max_frame_len)
+    # each frame individually decodable
+    for i in range(b):
+        stream = jnp.concatenate(
+            [jnp.zeros(100, jnp.complex64), frames.samples[i],
+             jnp.zeros(100, jnp.complex64)]
+        )
+        res = rx_block(spec, stream, max_frames=2)
+        v = np.asarray(res.valid)
+        assert v.sum() == 1
+        f = jax.tree.map(lambda x: np.asarray(x)[int(np.argmax(v))], res.frames)
+        assert f.crc_ok
+        assert int(f.payload_len) == lens[i]
+        assert np.array_equal(f.payload[: lens[i]], bufs[i, : lens[i]])

@@ -1,0 +1,206 @@
+"""Unit tests for tpu_ofdm.ops against the frozen golden model / numpy.
+
+Mirrors the reference's per-block qa_*.py pattern (SURVEY.md §4): small
+vectors in, exact or tolerance asserts out.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from golden import golden_ofdm as G
+from tpu_ofdm.config import OfdmConfig
+from tpu_ofdm.ops import carrier_alloc, chanest, channel, crc, header, sync, transform
+from tpu_ofdm.ops.constellation import demap_hard, demap_soft, map_bits, points_np
+from tpu_ofdm.ops.equalizer import equalize_pilot_phase
+from tpu_ofdm.utils import bits as B
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return OfdmConfig(modulation="qpsk", max_payload_bytes=64).spec
+
+
+def test_constellations_match_golden():
+    for m in ("bpsk", "qpsk", "qam16", "qam64"):
+        np.testing.assert_allclose(
+            points_np(m), G.constellation_points(m).astype(np.complex64), atol=1e-7
+        )
+
+
+def test_map_demap_matches_golden():
+    rng = np.random.RandomState(0)
+    for m in ("bpsk", "qpsk", "qam16", "qam64"):
+        k = G.BITS_PER_SYMBOL[m]
+        bits = rng.randint(0, 2, size=k * 100)
+        syms = np.asarray(map_bits(jnp.asarray(bits), m))
+        np.testing.assert_allclose(syms, G.map_bits(bits, m).astype(np.complex64),
+                                   atol=1e-7)
+        back = np.asarray(demap_hard(jnp.asarray(syms), m))
+        assert np.array_equal(back, G.demap_symbols(syms, m))
+
+
+def test_soft_demap_sign_matches_hard():
+    rng = np.random.RandomState(1)
+    for m in ("qpsk", "qam16", "qam64"):
+        k = G.BITS_PER_SYMBOL[m]
+        syms = (rng.randn(64) + 1j * rng.randn(64)).astype(np.complex64)
+        hard = np.asarray(demap_hard(jnp.asarray(syms), m))
+        llr = np.asarray(demap_soft(jnp.asarray(syms), m))
+        # positive LLR => bit 0; sign must agree with the hard decision
+        assert np.array_equal((llr < 0).astype(np.uint8), hard)
+
+
+def test_bits_utils_roundtrip():
+    data = np.arange(256, dtype=np.uint8)
+    bits = np.asarray(B.bytes_to_bits(jnp.asarray(data)))
+    assert np.array_equal(bits, np.unpackbits(data))
+    back = np.asarray(B.bits_to_bytes(jnp.asarray(bits)))
+    assert np.array_equal(back, data)
+
+
+def test_crc32_matches_zlib():
+    import zlib
+
+    rng = np.random.RandomState(2)
+    data = rng.randint(0, 256, size=100).astype(np.uint8)
+    got = int(jax.jit(crc.crc32)(jnp.asarray(data)))
+    assert got == (zlib.crc32(data.tobytes()) & 0xFFFFFFFF)
+    # masked length
+    got55 = int(crc.crc32(jnp.asarray(data), 55))
+    assert got55 == (zlib.crc32(data[:55].tobytes()) & 0xFFFFFFFF)
+
+
+def test_check_crc32():
+    wire = np.frombuffer(G.append_crc32(b"some payload bytes"), dtype=np.uint8)
+    buf = np.zeros(64, np.uint8)
+    buf[: len(wire)] = wire
+    assert bool(crc.check_crc32(jnp.asarray(buf), len(wire)))
+    buf[3] ^= 0xFF
+    assert not bool(crc.check_crc32(jnp.asarray(buf), len(wire)))
+
+
+def test_crc8_matches_golden():
+    bits = np.random.RandomState(3).randint(0, 2, size=24)
+    assert int(crc.crc8_bits(jnp.asarray(bits))) == G.crc8(bits)
+
+
+def test_header_matches_golden():
+    hb = np.asarray(header.make_header_bits(jnp.asarray(300), jnp.asarray(9)))
+    assert np.array_equal(hb, G.make_header_bits(300, 9))
+    plen, fnum, ok = header.parse_header_bits(jnp.asarray(hb))
+    assert (int(plen), int(fnum), bool(ok)) == (300, 9, True)
+
+
+def test_carrier_alloc_matches_golden(spec):
+    gp = G.GoldenOfdmParams(modulation="qpsk")
+    rng = np.random.RandomState(4)
+    syms = (rng.randn(2 * spec.n_data) + 1j * rng.randn(2 * spec.n_data))
+    grid = np.asarray(carrier_alloc.allocate(spec, jnp.asarray(syms, jnp.complex64)))
+    ggrid = G.allocate_carriers(gp, syms)
+    np.testing.assert_allclose(grid, ggrid.astype(np.complex64), atol=1e-6)
+    back = np.asarray(carrier_alloc.serialize(spec, jnp.asarray(grid)))
+    np.testing.assert_allclose(back, syms.astype(np.complex64), atol=1e-6)
+
+
+def test_sync_words_match_golden(spec):
+    gp = G.GoldenOfdmParams()
+    np.testing.assert_allclose(
+        spec.sync_word1_freq, gp.sync_word1_freq().astype(np.complex64), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        spec.sync_word2_freq, gp.sync_word2_freq().astype(np.complex64), atol=1e-7
+    )
+
+
+def test_transform_roundtrip(spec):
+    rng = np.random.RandomState(5)
+    grid = (rng.randn(3, 64) + 1j * rng.randn(3, 64)).astype(np.complex64)
+    td = transform.ofdm_ifft(jnp.asarray(grid))
+    samples = transform.add_cyclic_prefix(spec, td)
+    assert samples.shape == (3 * 80,)
+    # CP is the tail of each symbol
+    s = np.asarray(samples).reshape(3, 80)
+    np.testing.assert_allclose(s[:, :16], s[:, -16:], atol=1e-6)
+    back = transform.remove_cyclic_prefix(spec, samples, 3)
+    grid2 = np.asarray(transform.ofdm_fft(back))
+    np.testing.assert_allclose(grid2, grid, atol=1e-5)
+
+
+def test_moving_sum_matches_numpy():
+    rng = np.random.RandomState(6)
+    x = rng.randn(200).astype(np.float32)
+    got = np.asarray(sync.moving_sum(jnp.asarray(x), 17))
+    want = np.convolve(x, np.ones(17), mode="valid")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_schmidl_cox_matches_golden(spec):
+    gp = G.GoldenOfdmParams()
+    tx = G.tx_frame(gp, b"payload!" * 4)
+    r = np.concatenate([np.zeros(50), tx, np.zeros(50)]).astype(np.complex64)
+    m = sync.schmidl_cox(spec, jnp.asarray(r))
+    gm, gP = G.schmidl_cox_metric(gp, r)
+    n = len(gm)
+    np.testing.assert_allclose(np.asarray(m.corr)[:n], gP.astype(np.complex64),
+                               atol=1e-2, rtol=1e-3)
+    # golden masks low-energy region differently; compare where energy is high
+    keep = np.asarray(m.metric)[:n] > 0
+    np.testing.assert_allclose(np.asarray(m.metric)[:n][keep], gm[keep],
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_detect_frames_single(spec):
+    gp = G.GoldenOfdmParams()
+    tx = G.tx_frame(gp, b"payload!" * 4)
+    r = np.concatenate([np.zeros(500), tx, np.zeros(1000)]).astype(np.complex64)
+    det = sync.detect_frames(spec, jnp.asarray(r), max_frames=4)
+    v = np.asarray(det.valid)
+    assert v[0] and not v[1:].any()
+    start = int(np.asarray(det.start)[0])
+    # nominal fft start = 500 + cp_len; allow the deliberate CP backoff
+    assert 500 + spec.cp_len - spec.cp_len // 2 <= start <= 500 + spec.cp_len
+    assert abs(float(np.asarray(det.fine_cfo)[0])) < 0.01
+
+
+def test_coarse_int_cfo(spec):
+    sw1 = jnp.asarray(spec.sync_word1_freq)
+    for shift in (-3, 0, 2):
+        shifted = jnp.roll(sw1, shift)
+        assert int(chanest.coarse_int_cfo(spec, shifted)) == shift
+
+
+def test_ls_estimate_and_equalize(spec):
+    rng = np.random.RandomState(7)
+    # random smooth channel on occupied bins
+    h_true = (rng.randn(64) + 1j * rng.randn(64)).astype(np.complex64)
+    sw2 = spec.sync_word2_freq
+    rx2 = jnp.asarray(sw2 * h_true)
+    H = chanest.ls_estimate(spec, rx2)
+    np.testing.assert_allclose(
+        np.asarray(H)[spec.occupied_bins], h_true[spec.occupied_bins],
+        atol=1e-5,
+    )
+    # equalizing a pilot-bearing grid recovers the data
+    syms = (rng.randn(spec.n_data) + 1j * rng.randn(spec.n_data)).astype(np.complex64)
+    grid = carrier_alloc.allocate(spec, jnp.asarray(syms))
+    rx = grid * jnp.asarray(h_true)
+    eq = equalize_pilot_phase(spec, rx, H)
+    got = np.asarray(carrier_alloc.serialize(spec, eq))
+    np.testing.assert_allclose(got, syms, atol=1e-4)
+
+
+def test_channel_model_against_golden():
+    rng = np.random.RandomState(8)
+    x = (rng.randn(500) + 1j * rng.randn(500)).astype(np.complex64)
+    taps = np.array([1.0, 0.2 + 0.1j, 0.05])
+    y = np.asarray(
+        channel.channel_model(
+            jax.random.PRNGKey(0), jnp.asarray(x), snr_db=None, cfo=0.5,
+            fft_len=64, taps=jnp.asarray(taps), delay=7, phase=0.3,
+        )
+    )
+    want = G.channel(x, snr_db=None, cfo=0.5, fft_len=64, timing_offset=7,
+                     multipath=taps, phase=0.3)
+    np.testing.assert_allclose(y, want.astype(np.complex64), atol=1e-3)

@@ -1,0 +1,154 @@
+"""OFDM receiver composite.
+
+TPU-native equivalent of digital.ofdm_rx (SURVEY.md §3.3,
+gr-digital/python/digital/ofdm_txrx.py + ofdm_sync_sc_cfb +
+header_payload_demux + ofdm_chanest/equalizer/serializer +
+constellation_decoder + crc32_bb, unverified paths).
+
+The reference's hardest control flow -- the packet_headerparser_b ->
+header_payload_demux message-port feedback loop that tells the demux how many
+payload samples to pass -- is restructured as a static two-pass design
+(SURVEY.md §7 decision 2 / hard part 1):
+
+  pass 1: detect up to K frame starts per block (ops.sync.detect_frames),
+  pass 2: for each candidate slot (vmapped), gather a fixed-capacity window,
+          derotate, FFT the whole frame, estimate/equalize, parse the header,
+          and demap payload bytes under masks derived from the header length.
+
+Everything is fixed capacity + validity masks; no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ofdm.config import HEADER_BITS, OfdmSpec
+from tpu_ofdm.ops import carrier_alloc
+from tpu_ofdm.ops.chanest import coarse_int_cfo, ls_estimate, roll_bins
+from tpu_ofdm.ops.constellation import demap_hard, evm as evm_op
+from tpu_ofdm.ops.crc import check_crc32
+from tpu_ofdm.ops.equalizer import equalize_pilot_phase, equalize_simpledfe
+from tpu_ofdm.ops.header import parse_header_bits
+from tpu_ofdm.ops.sync import Detections, derotate, detect_frames
+from tpu_ofdm.ops.transform import ofdm_fft
+from tpu_ofdm.utils.bits import bits_to_bytes
+
+
+class FrameResult(NamedTuple):
+    payload: jnp.ndarray     # (max_payload_bytes,) uint8 wire bytes (incl CRC)
+    payload_len: jnp.ndarray  # () int32: payload bytes EXCL. CRC32 (wire-4)
+    frame_num: jnp.ndarray   # () int32
+    hdr_ok: jnp.ndarray      # () bool: header CRC8 passed
+    crc_ok: jnp.ndarray      # () bool: payload CRC32 passed
+    evm: jnp.ndarray         # () float32: payload EVM vs hard decisions
+    int_cfo: jnp.ndarray     # () int32
+    data_syms: jnp.ndarray   # (sym_capacity,) complex64 equalized payload syms
+    sym_mask: jnp.ndarray    # (sym_capacity,) bool: valid payload symbols
+
+
+def demod_frame(
+    spec: OfdmSpec,
+    frame: jnp.ndarray,          # (max_frame_len,) starting at detected start
+    equalizer: str = "pilot_phase",
+) -> FrameResult:
+    """Demodulate one start-aligned frame window (already CFO-derotated).
+
+    frame[0] must be the detected FFT-window start of sync word 1 (a few
+    samples inside its CP -- the resulting circular shift is absorbed into
+    the channel estimate as a linear phase).
+    """
+    n_syms = spec.max_frame_ofdm_syms
+    # FFT windows at stride sym_len from the aligned start (CP skipped by
+    # construction: each window is the first fft_len of its sym_len slot)
+    wins = frame[: n_syms * spec.sym_len].reshape(n_syms, spec.sym_len)
+    grids = ofdm_fft(wins[:, : spec.fft_len])                  # (n_syms, N)
+
+    ic = coarse_int_cfo(spec, grids[0])
+    grids = roll_bins(grids, ic)                                # undo +ic shift
+
+    H = ls_estimate(spec, grids[1])
+
+    hdr_eq = equalize_pilot_phase(spec, grids[2:3], H)          # (1, N)
+    hdr_syms = carrier_alloc.serialize(spec, hdr_eq)            # (n_data,)
+    hdr_bits = demap_hard(hdr_syms[:HEADER_BITS], "bpsk")
+    wire_len, fnum, hdr_ok = parse_header_bits(hdr_bits)
+    wire_len = jnp.clip(wire_len, 0, spec.max_payload_bytes)
+
+    pay = grids[3:]                                             # (max_pay, N)
+    if equalizer == "simpledfe":
+        pay_eq = equalize_simpledfe(spec, pay, H)
+    else:
+        pay_eq = equalize_pilot_phase(spec, pay, H)
+    syms = carrier_alloc.serialize(spec, pay_eq)                # (sym_cap,)
+
+    bps = spec.bits_per_symbol
+    wire_bits = wire_len * 8
+    n_mod_syms = (wire_bits + bps - 1) // bps
+    sym_cap = syms.shape[0]
+    sym_mask = jnp.arange(sym_cap) < n_mod_syms
+
+    bits = demap_hard(syms, spec.modulation)                    # (sym_cap*bps,)
+    bits = jnp.where(jnp.arange(bits.shape[0]) < wire_bits, bits, 0)
+    wire = bits_to_bytes(bits)[: spec.max_payload_bytes]
+    byte_mask = jnp.arange(wire.shape[0]) < wire_len
+    wire = jnp.where(byte_mask, wire, 0)
+
+    crc_ok = check_crc32(wire, wire_len) & hdr_ok
+    e = evm_op(syms, spec.modulation, mask=sym_mask)
+
+    return FrameResult(
+        payload=wire,
+        payload_len=jnp.maximum(wire_len - 4, 0),
+        frame_num=fnum,
+        hdr_ok=hdr_ok,
+        crc_ok=crc_ok,
+        evm=e.astype(jnp.float32),
+        int_cfo=ic,
+        data_syms=syms.astype(jnp.complex64),
+        sym_mask=sym_mask,
+    )
+
+
+class RxBlockResult(NamedTuple):
+    frames: FrameResult      # batched over K slots
+    starts: jnp.ndarray      # (K,) int32 start index within the input buffer
+    fine_cfo: jnp.ndarray    # (K,) float32
+    valid: jnp.ndarray       # (K,) bool: slot holds an accepted detection
+
+
+def rx_block(
+    spec: OfdmSpec,
+    samples: jnp.ndarray,    # (n,) extended block: [history | new samples]
+    max_frames: int,
+    own_lo: int = 0,
+    own_hi: int | None = None,
+    equalizer: str = "pilot_phase",
+) -> RxBlockResult:
+    """Detect + demodulate up to `max_frames` frames in a sample buffer.
+
+    Ownership window [own_lo, own_hi): only detections whose start falls in
+    it are accepted -- the streaming executor uses this to deduplicate
+    detections across overlapping blocks (SURVEY.md §7 hard part 2's
+    ownership rule, single-shard version).
+    """
+    n = samples.shape[0]
+    if own_hi is None:
+        own_hi = n
+    det: Detections = detect_frames(spec, samples, max_frames)
+    owned = det.valid & (det.start >= own_lo) & (det.start < own_hi)
+    # clamp gather so invalid slots still index safely
+    max_start = max(n - spec.max_frame_len, 0)
+    gstart = jnp.clip(det.start, 0, max_start)
+
+    def one(start, cfo):
+        win = jax.lax.dynamic_slice(samples, (start,), (spec.max_frame_len,))
+        win = derotate(win, cfo, spec.fft_len)
+        return demod_frame(spec, win, equalizer=equalizer)
+
+    frames = jax.vmap(one)(gstart, det.fine_cfo)
+    # a slot is valid only if owned AND its header parsed
+    valid = owned & frames.hdr_ok
+    return RxBlockResult(frames, det.start, det.fine_cfo, valid)

@@ -1,0 +1,113 @@
+"""Streaming OFDM receiver: the RX chain as an executor Block.
+
+This is the static-shape streaming counterpart of modem.rx -- it replaces
+the reference's continuously-running ofdm_rx flowgraph (SURVEY.md §3.3)
+including the implicit cross-iteration state GNU Radio keeps in buffers and
+block members: sample history (set_history/overlap-save), the absolute
+sample counter behind stream tags, and frame deduplication at block seams.
+
+Mechanics (SURVEY.md §7 decisions 1-3):
+  carry = (history[H], abs_offset) with H >= max_frame_len + 2*sym_len.
+  Each step processes ext = [history | new_block]; detections are accepted
+  only if their start lies in the ownership window [0, block_size) of ext
+  coordinates shifted by -H... i.e. exactly the samples that entered one
+  step ago, so every frame is reported exactly once no matter how it
+  straddles block boundaries, at a fixed latency of H samples.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from tpu_ofdm.config import OfdmSpec, StreamConfig
+from tpu_ofdm.modem.rx import RxBlockResult, rx_block
+from tpu_ofdm.stream.block import Block
+
+
+class RxStreamOut(NamedTuple):
+    result: RxBlockResult     # frame slots for this step
+    block_index: jnp.ndarray  # () int32 steps processed before this one
+    # Absolute sample positions are derived HOST-side (collect_frames) as
+    # block_index*block_size - history_len + start, with Python ints --
+    # device-side int32 would wrap after ~2^31 samples of capture.
+
+
+def history_len(spec: OfdmSpec) -> int:
+    """Carry length: a full frame + margin for the sync metric windows."""
+    return spec.max_frame_len + 2 * spec.sym_len
+
+
+def rx_stream_block(
+    spec: OfdmSpec,
+    stream_cfg: StreamConfig,
+    equalizer: str = "pilot_phase",
+) -> Block:
+    H = history_len(spec)
+    S = stream_cfg.block_size
+    K = stream_cfg.max_frames_per_block
+
+    def init():
+        # history starts as synthetic zeros occupying absolute [-H, 0); the
+        # first step's ownership window is therefore absolute [-H, -H+S).
+        # Host-side numpy: eager device complex64 is illegal on this TPU
+        # backend (utils.device_io); the executor packs it at the boundary.
+        import numpy as np
+
+        return (
+            np.zeros(H, dtype=np.complex64),    # history
+            np.zeros((), dtype=np.int32),       # step counter
+        )
+
+    def apply(state, x):
+        hist, step = state
+        ext = jnp.concatenate([hist, x.astype(jnp.complex64)], axis=-1)
+        # ownership: starts within [0, S) of ext coords = absolute
+        # [step*S - H, step*S - H + S) -- tiles the stream exactly
+        res = rx_block(
+            spec, ext, max_frames=K, own_lo=0, own_hi=S, equalizer=equalizer
+        )
+        new_hist = ext[S:]
+        out = RxStreamOut(res, step)
+        return (new_hist, step + 1), out
+
+    return Block(init, apply, "ofdm_rx_stream")
+
+
+def collect_frames(outs, block_size: int | None = None, hist: int | None = None):
+    """Flatten a list of RxStreamOut (one per step) into a list of dicts for
+    valid frames, host-side (the message-port/PDU sink equivalent).
+
+    If block_size/hist are given, each frame carries "abs_start", the
+    absolute sample index of its detected start in the fed stream.
+    """
+    import numpy as np
+
+    frames = []
+    for o in outs:
+        valid = np.asarray(o.result.valid)
+        step = int(np.asarray(o.block_index))
+        for i in np.nonzero(valid)[0]:
+            f = o.result.frames
+            plen = int(np.asarray(f.payload_len)[i])
+            rec_start = int(np.asarray(o.result.starts)[i])
+            abs_start = (
+                step * block_size - hist + rec_start
+                if block_size is not None and hist is not None
+                else rec_start
+            )
+            frames.append(
+                {
+                    "payload": bytes(np.asarray(f.payload)[i][:plen]),
+                    "payload_len": plen,
+                    "frame_num": int(np.asarray(f.frame_num)[i]),
+                    "crc_ok": bool(np.asarray(f.crc_ok)[i]),
+                    "hdr_ok": bool(np.asarray(f.hdr_ok)[i]),
+                    "evm": float(np.asarray(f.evm)[i]),
+                    "int_cfo": int(np.asarray(f.int_cfo)[i]),
+                    "fine_cfo": float(np.asarray(o.result.fine_cfo)[i]),
+                    "abs_start": abs_start,
+                }
+            )
+    return frames

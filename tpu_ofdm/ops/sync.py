@@ -1,0 +1,152 @@
+"""Schmidl-Cox timing/CFO synchronization as fused array ops.
+
+TPU-native equivalent of ofdm_sync_sc_cfb + plateau_detector_fb
+(SURVEY.md §2b/§3.3, gr-digital/lib/ofdm_sync_sc_cfb_impl.cc and
+plateau_detector_fb_impl.cc, unverified paths).
+
+The reference builds this from ~8 streaming blocks (delay, multiply-conjugate,
+two moving averages, divide, plateau detector), each a thread+ring-buffer hop.
+Here the whole stack is a handful of cumsum/elementwise ops over the entire
+sample block at once -- XLA fuses them into a few passes over HBM, and the
+"plateau detector" becomes boxcar smoothing + windowed argmax (non-maximum
+suppression), yielding up to `max_frames` detections per block with a
+validity mask (static shapes; SURVEY.md §7 decision 2).
+
+Math: P(d) = sum_{m<L} conj(r[d+m]) r[d+m+L], L = fft_len/2;
+R(d) = sum_{m<L} |r[d+m+L]|^2;  M(d) = |P|^2 / R^2.
+Fine CFO (subcarrier units) = angle(P) / pi.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_ofdm.config import OfdmSpec
+
+
+def sliding_max(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Valid-mode sliding max along the last axis: out[i] = max x[i:i+w],
+    output length n - w + 1.  Uses the log-doubling trick (O(log w) shifted
+    maxes) instead of lax.reduce_window, whose stride-1 large-window form
+    compiles pathologically slowly on TPU (~60s for w=80)."""
+    n = x.shape[-1]
+    if w <= 1:
+        return x
+    y = x
+    p = 1
+    while p * 2 <= w:
+        y = jnp.maximum(y[..., :-p], y[..., p:])
+        p *= 2
+    # y[i] = max x[i:i+p]; combine two p-windows covering [i, i+w)
+    if p < w:
+        y = jnp.maximum(y[..., : n - w + 1], y[..., w - p: w - p + n - w + 1])
+    return y
+
+
+def sliding_max_same(x: jnp.ndarray, w: int, pad_left: int) -> jnp.ndarray:
+    """Same-length sliding max: out[i] = max x[i-pad_left : i-pad_left+w]
+    (out-of-range treated as -inf)."""
+    padded = jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(pad_left, w - 1 - pad_left)],
+        constant_values=-jnp.inf,
+    )
+    return sliding_max(padded, w)
+
+
+def moving_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Valid-mode moving sum along the last axis: out[d] = sum x[d:d+w].
+    Output length = n - w + 1.  Implemented with a single cumsum (one HBM
+    pass) rather than the reference's stateful moving_average block."""
+    c = jnp.cumsum(x, axis=-1)
+    lead = c[..., w - 1:]
+    lag = jnp.concatenate(
+        [jnp.zeros_like(c[..., :1]), c[..., : c.shape[-1] - w]], axis=-1
+    )
+    return lead - lag
+
+
+class SyncMetric(NamedTuple):
+    metric: jnp.ndarray   # M(d), float32, length n - fft_len
+    corr: jnp.ndarray     # P(d), complex64, same length
+    energy: jnp.ndarray   # R(d), float32, same length
+
+
+def schmidl_cox(spec: OfdmSpec, r: jnp.ndarray) -> SyncMetric:
+    """Compute the Schmidl-Cox metric over a sample block (last axis)."""
+    L = spec.fft_len // 2
+    prod = jnp.conj(r[..., :-L]) * r[..., L:]
+    energy = jnp.abs(r[..., L:]) ** 2
+    P = moving_sum(prod, L)
+    R = moving_sum(energy, L)
+    M = jnp.abs(P) ** 2 / jnp.maximum(R, 1e-12) ** 2
+    # Suppress the low-energy region where the ratio is unreliable
+    M = jnp.where(R > 0.1 * jnp.max(R, axis=-1, keepdims=True), M, 0.0)
+    return SyncMetric(M.astype(jnp.float32), P.astype(jnp.complex64), R)
+
+
+class Detections(NamedTuple):
+    start: jnp.ndarray     # (K,) int32: index of first FFT-window sample
+    fine_cfo: jnp.ndarray  # (K,) float32: fractional CFO, subcarrier units
+    valid: jnp.ndarray     # (K,) bool
+    peak: jnp.ndarray      # (K,) float32: smoothed metric at the peak
+
+
+def detect_frames(
+    spec: OfdmSpec,
+    r: jnp.ndarray,
+    max_frames: int,
+    threshold: float | None = None,
+) -> Detections:
+    """Find up to `max_frames` frame starts in sample block `r` (1-D).
+
+    Returns detections sorted by position with a validity mask.  `start`
+    points a few samples inside the CP before sync word 1's FFT window
+    (deliberate ISI backoff, same rule as the golden model's detect_frame).
+    """
+    if threshold is None:
+        threshold = spec.cfg.sync_threshold
+    m = schmidl_cox(spec, r)
+    cp = spec.cp_len
+    # Plateau -> peak: boxcar over ~CP span turns the flat plateau into a
+    # triangle whose apex sits at the plateau center.
+    sm = moving_sum(m.metric, cp + 1) / (cp + 1)
+    n = sm.shape[-1]
+    # deterministic tie-break on perfectly flat (noiseless) plateaus
+    sm = sm + jnp.arange(n, dtype=jnp.float32) * 1e-7
+    # windowed non-max suppression: a winner is the max of its sym_len window
+    w = spec.sym_len
+    win_max = sliding_max_same(sm, w, pad_left=w // 2)
+    is_peak = (sm >= win_max) & (sm > threshold)
+    # first K peak positions (ascending)
+    pos = jnp.where(is_peak, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    pos = jnp.sort(pos)[:max_frames]
+    valid = pos < n
+    safe = jnp.minimum(pos, n - 1)
+    # smoothing window [d, d+cp] has apex at d_sm where plateau center is
+    # d_sm + cp/2... the boxcar's *valid* output index d corresponds to the
+    # window starting at d, so plateau center ~ d + cp/2; we need the mid of
+    # the ORIGINAL metric plateau: mid = d_peak + cp/2.
+    mid = safe + cp // 2
+    backoff = min(4, cp // 4)
+    start = mid + cp - cp // 2 - backoff
+    fine_cfo = jnp.angle(m.corr[jnp.minimum(mid, m.corr.shape[-1] - 1)]) / jnp.pi
+    return Detections(
+        start.astype(jnp.int32),
+        fine_cfo.astype(jnp.float32),
+        valid,
+        sm[safe],
+    )
+
+
+def derotate(r: jnp.ndarray, cfo_subcarriers: jnp.ndarray, fft_len: int,
+             n0: jnp.ndarray | int = 0) -> jnp.ndarray:
+    """Remove a carrier frequency offset: r[n] * exp(-j 2 pi cfo (n+n0) / N).
+
+    Equivalent of the reference's frequency_modulator_fc + multiply_cc
+    derotator stage (SURVEY.md §2b "CFO derotator")."""
+    n = jnp.arange(r.shape[-1], dtype=jnp.float32) + n0
+    ph = -2.0 * jnp.pi * cfo_subcarriers * n / fft_len
+    return (r * jnp.exp(1j * ph.astype(jnp.float32))).astype(jnp.complex64)

@@ -1,0 +1,74 @@
+"""FFT/IFFT + cyclic prefix ops.
+
+TPU-native equivalent of fft_vcc (gr-fft/lib/fft_vcc_fftw.cc: FFTW wrapper
+applied per fft_len vector) and ofdm_cyclic_prefixer
+(gr-digital/lib/ofdm_cyclic_prefixer_impl.cc) -- SURVEY.md §2b (unverified
+paths).
+
+Design notes (SURVEY.md §7 decision 4): these ops always operate on
+(batch..., n_syms, fft_len) stacks, never one symbol at a time like the
+reference's per-vector work() calls, and use the MXU matmul-DFT kernel
+(kernels.fft) rather than jnp.fft, which does not lower on this TPU stack.
+Normalization is unitary-style: ifft * sqrt(N) on TX, fft / sqrt(N) on RX
+(matching the golden model).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpu_ofdm.config import OfdmSpec
+from tpu_ofdm.kernels import fft as kfft
+
+
+def ofdm_ifft(grids: jnp.ndarray) -> jnp.ndarray:
+    """Freq grids (..., fft_len) -> time-domain symbols, scaled by sqrt(N)."""
+    n = grids.shape[-1]
+    return (kfft.ifft(grids) * jnp.sqrt(float(n))).astype(jnp.complex64)
+
+
+def ofdm_fft(symbols: jnp.ndarray) -> jnp.ndarray:
+    """Time-domain symbols (..., fft_len) -> freq grids, scaled by 1/sqrt(N)."""
+    n = symbols.shape[-1]
+    return (kfft.fft(symbols) / jnp.sqrt(float(n))).astype(jnp.complex64)
+
+
+def add_cyclic_prefix(spec: OfdmSpec, td_syms: jnp.ndarray) -> jnp.ndarray:
+    """(..., n_syms, fft_len) -> (..., n_syms*(fft_len+cp_len)) serialized
+    samples with CP prepended per symbol."""
+    cp = td_syms[..., -spec.cp_len:]
+    with_cp = jnp.concatenate([cp, td_syms], axis=-1)
+    return with_cp.reshape(*td_syms.shape[:-2], -1)
+
+
+def remove_cyclic_prefix(spec: OfdmSpec, samples: jnp.ndarray, n_syms: int) -> jnp.ndarray:
+    """Serialized samples (..., n_syms*sym_len) -> (..., n_syms, fft_len),
+    dropping each symbol's CP."""
+    s = samples[..., : n_syms * spec.sym_len].reshape(
+        *samples.shape[:-1], n_syms, spec.sym_len
+    )
+    return s[..., spec.cp_len:]
+
+
+def window_taps(kind: str, n: int) -> jnp.ndarray:
+    """Window functions (cf. gr-fft/lib/window.cc: Hann/Hamming/Blackman-
+    Harris/Kaiser used by fft_vcc + logpwrfft)."""
+    import numpy as np
+
+    t = np.arange(n)
+    if kind in ("hann", "hanning"):
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * t / n)
+    elif kind == "hamming":
+        w = 0.54 - 0.46 * np.cos(2 * np.pi * t / n)
+    elif kind == "blackman_harris":
+        a = [0.35875, 0.48829, 0.14128, 0.01168]
+        x = 2 * np.pi * t / (n - 1)
+        w = a[0] - a[1] * np.cos(x) + a[2] * np.cos(2 * x) - a[3] * np.cos(3 * x)
+    elif kind == "rect":
+        w = np.ones(n)
+    elif kind.startswith("kaiser"):
+        beta = float(kind.split(":")[1]) if ":" in kind else 8.6
+        w = np.kaiser(n, beta)
+    else:
+        raise ValueError(f"unknown window {kind!r}")
+    return jnp.asarray(w, dtype=jnp.float32)
