@@ -189,7 +189,14 @@ def test_stream_rx_block_size_invariance():
             [(f["payload"], f["frame_num"], f["abs_start"], f["crc_ok"])
              for f in frames]
         )
-    assert results[0] == results[1] == results[2]
+    # payload/frame_num/crc are chop-invariant; abs_start may differ by a
+    # sample or two (the per-block cumsum accumulates different prefixes, so
+    # near-tied plateau samples can flip on float noise)
+    for res in results[1:]:
+        assert len(res) == len(results[0])
+        for a, b in zip(results[0], res):
+            assert a[0] == b[0] and a[1] == b[1] and a[3] == b[3]
+            assert abs(a[2] - b[2]) <= 2, (a, b)
     assert len(results[0]) == 3
     assert all(r[3] for r in results[0])
 

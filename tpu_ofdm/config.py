@@ -120,6 +120,9 @@ class OfdmSpec:
         pn1 = rng.randint(0, 2, size=len(even)) * 2 - 1
         sw1[np.mod(even, cfg.fft_len)] = pn1 * np.sqrt(2.0)
         self.sync_word1_freq = sw1
+        # sync1's spectral support (even occupied bins): the RX uses energy
+        # concentration on these bins as the frame-acquisition quality gate
+        self.sync1_bins = np.mod(even, cfg.fft_len)
 
         rng2 = np.random.RandomState(cfg.sync_seed + 1)
         sw2 = np.zeros(cfg.fft_len, dtype=np.complex64)

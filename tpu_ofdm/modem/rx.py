@@ -47,6 +47,8 @@ class FrameResult(NamedTuple):
     int_cfo: jnp.ndarray     # () int32
     data_syms: jnp.ndarray   # (sym_capacity,) complex64 equalized payload syms
     sym_mask: jnp.ndarray    # (sym_capacity,) bool: valid payload symbols
+    sync_q: jnp.ndarray      # () float32: sync1 spectral-support quality
+    sync_ok: jnp.ndarray     # () bool: sync_q above acquisition threshold
 
 
 def demod_frame(
@@ -68,6 +70,18 @@ def demod_frame(
 
     ic = coarse_int_cfo(spec, grids[0])
     grids = roll_bins(grids, ic)                                # undo +ic shift
+
+    # Frame-acquisition gate (role of ofdm_chanest_vcvc's frame check in the
+    # reference): sync word 1 occupies ONLY the even occupied bins, while
+    # every data/header symbol carries pilots on odd carriers -- so symbol-0
+    # energy concentrated on the sync1 support (vs all occupied bins)
+    # separates a true preamble (~1) from any mid-frame or noise window
+    # (~0.5).  This kills false detections that the 8-bit header CRC would
+    # otherwise pass by luck, chopping-independently.
+    e_on = jnp.sum(jnp.abs(grids[0, spec.sync1_bins]) ** 2)
+    e_occ = jnp.sum(jnp.abs(grids[0, spec.occupied_bins]) ** 2)
+    sync_q = e_on / jnp.maximum(e_occ, 1e-12)
+    sync_ok = (sync_q > 0.75) & (e_occ > 1e-9)
 
     H = ls_estimate(spec, grids[1])
 
@@ -96,7 +110,7 @@ def demod_frame(
     byte_mask = jnp.arange(wire.shape[0]) < wire_len
     wire = jnp.where(byte_mask, wire, 0)
 
-    crc_ok = check_crc32(wire, wire_len) & hdr_ok
+    crc_ok = check_crc32(wire, wire_len) & hdr_ok & sync_ok
     e = evm_op(syms, spec.modulation, mask=sym_mask)
 
     return FrameResult(
@@ -109,6 +123,8 @@ def demod_frame(
         int_cfo=ic,
         data_syms=syms.astype(jnp.complex64),
         sym_mask=sym_mask,
+        sync_q=sync_q.astype(jnp.float32),
+        sync_ok=sync_ok,
     )
 
 
@@ -149,6 +165,6 @@ def rx_block(
         return demod_frame(spec, win, equalizer=equalizer)
 
     frames = jax.vmap(one)(gstart, det.fine_cfo)
-    # a slot is valid only if owned AND its header parsed
-    valid = owned & frames.hdr_ok
+    # a slot is valid only if owned AND acquisition confirmed AND header ok
+    valid = owned & frames.sync_ok & frames.hdr_ok
     return RxBlockResult(frames, det.start, det.fine_cfo, valid)

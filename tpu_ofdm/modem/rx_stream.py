@@ -35,8 +35,12 @@ class RxStreamOut(NamedTuple):
 
 
 def history_len(spec: OfdmSpec) -> int:
-    """Carry length: a full frame + margin for the sync metric windows."""
-    return spec.max_frame_len + 2 * spec.sym_len
+    """Carry length: a full frame + margin for the sync metric windows,
+    rounded up to a whole number of (8, 128) float32 TPU tiles -- unaligned
+    ext-buffer lengths measurably slow every elementwise pass (3x on the
+    sync metric at 2^17 block size, measured 2026-08-17)."""
+    need = spec.max_frame_len + 2 * spec.sym_len
+    return -(-need // 1024) * 1024
 
 
 def rx_stream_block(
@@ -72,7 +76,7 @@ def rx_stream_block(
         out = RxStreamOut(res, step)
         return (new_hist, step + 1), out
 
-    return Block(init, apply, "ofdm_rx_stream")
+    return Block(init, apply, "ofdm_rx_stream", latency=H)
 
 
 def collect_frames(outs, block_size: int | None = None, hist: int | None = None):

@@ -82,8 +82,14 @@ def schmidl_cox(spec: OfdmSpec, r: jnp.ndarray) -> SyncMetric:
     P = moving_sum(prod, L)
     R = moving_sum(energy, L)
     M = jnp.abs(P) ** 2 / jnp.maximum(R, 1e-12) ** 2
-    # Suppress the low-energy region where the ratio is unreliable
-    M = jnp.where(R > 0.1 * jnp.max(R, axis=-1, keepdims=True), M, 0.0)
+    # Suppress low-energy regions where the ratio is unreliable.  The energy
+    # scale is LOCAL (sliding max over ~2 symbols) rather than the block
+    # max: a block-global gate would silently drop a weak frame whenever a
+    # strong one shares the block (dynamic-range bug), and would make
+    # detection depend on how the stream is chopped into blocks.
+    w = 2 * spec.sym_len + 1
+    local = sliding_max_same(R, w, pad_left=w // 2)
+    M = jnp.where(R > 0.05 * local, M, 0.0)
     return SyncMetric(M.astype(jnp.float32), P.astype(jnp.complex64), R)
 
 

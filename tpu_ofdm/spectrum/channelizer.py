@@ -1,0 +1,105 @@
+"""Polyphase filterbank channelizer (critically sampled).
+
+TPU-native equivalent of pfb_channelizer_ccf / kernel::polyphase_filterbank
+(SURVEY.md §2b, gr-filter/lib/pfb_channelizer_ccf_impl.cc and
+polyphase_filterbank.cc, unverified paths): commutator -> N polyphase FIR
+arms -> N-point IFFT across arms.
+
+TPU-first mapping instead of the reference's per-arm VOLK dot products:
+
+  * the commutator is a reshape (n_out, n_chan) + lane reversal -- free;
+  * ALL N FIR arms advance together as J fused multiply-accumulate passes
+    over (n_out, n_chan) planes (J = taps per arm, ~8-16): the channel axis
+    rides the 128-wide VPU lanes, the time axis the sublanes;
+  * the cross-arm IFFT is a batched matmul DFT on the MXU (kernels.fft).
+
+Streaming state = the last J-1 commutator rows (overlap-save, cf.
+set_history), carried by the executor.
+
+Matches tests/golden/golden_ofdm.pfb_channelize bit-for-bit (same arm
+ordering: arm a at output m consumes x[m*N + (N-1-a)]; channel k centered
+at k*fs/N; output scaled by N).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_ofdm.kernels.fft import ifft
+from tpu_ofdm.stream.block import Block
+
+
+def lowpass_taps(n_chan: int, taps_per_arm: int = 8, beta: float = 9.0) -> np.ndarray:
+    """Prototype lowpass: windowed sinc, cutoff fs/(2*n_chan), unity per-arm
+    DC gain (cf. firdes.low_pass + Kaiser; same as the golden model)."""
+    ntaps = n_chan * taps_per_arm
+    n = np.arange(ntaps) - (ntaps - 1) / 2
+    h = np.sinc(n / n_chan) * np.kaiser(ntaps, beta)
+    return (h / np.sum(h) * n_chan).astype(np.float32)
+
+
+def polyphase_decompose(taps: np.ndarray, n_chan: int) -> np.ndarray:
+    """taps -> (taps_per_arm, n_chan) polyphase matrix poly[j, arm]."""
+    ntaps = len(taps)
+    j = -(-ntaps // n_chan)
+    tp = np.zeros(j * n_chan, dtype=np.float32)
+    tp[:ntaps] = taps
+    return tp.reshape(j, n_chan)
+
+
+def channelize_ext(ext_rows: jnp.ndarray, poly: jnp.ndarray) -> jnp.ndarray:
+    """Channelize history-extended commutator rows.
+
+    ext_rows: (..., n_out + J - 1, n_chan) where the first J-1 rows are
+    history (zeros at stream start) and rows are ALREADY lane-reversed
+    commutator loads xa[m, a] = x[m*N + (N-1-a)].
+    Returns (..., n_out, n_chan) channel samples.
+    """
+    J, n_chan = poly.shape
+    n_out = ext_rows.shape[-2] - (J - 1)
+    # causal FIR per arm: arm_out[m, a] = sum_j poly[j, a] * xa[m - j, a]
+    acc = jnp.zeros((*ext_rows.shape[:-2], n_out, n_chan), dtype=jnp.complex64)
+    for j in range(J):
+        acc = acc + poly[j] * ext_rows[..., (J - 1 - j):(J - 1 - j) + n_out, :]
+    # cross-arm IFFT: channel k = sum_a arm[a] * e^{2pi i a k / N}; batched
+    # matmul DFT on the MXU
+    return ifft(acc) * n_chan
+
+
+def commutator_rows(x: jnp.ndarray, n_chan: int) -> jnp.ndarray:
+    """Serial samples -> lane-reversed commutator rows (..., n, n_chan)."""
+    n_out = x.shape[-1] // n_chan
+    rows = x[..., : n_out * n_chan].reshape(*x.shape[:-1], n_out, n_chan)
+    return rows[..., ::-1]
+
+
+def channelize(x: jnp.ndarray, n_chan: int, taps: np.ndarray) -> jnp.ndarray:
+    """One-shot channelizer over a sample buffer (zero history), matching the
+    golden model: (..., n_samples) -> (..., n_out, n_chan)."""
+    poly = jnp.asarray(polyphase_decompose(np.asarray(taps), n_chan))
+    rows = commutator_rows(x, n_chan)
+    J = poly.shape[0]
+    pad = jnp.zeros((*rows.shape[:-2], J - 1, n_chan), dtype=rows.dtype)
+    return channelize_ext(jnp.concatenate([pad, rows], axis=-2), poly)
+
+
+def channelizer_block(n_chan: int, taps: np.ndarray | None = None) -> Block:
+    """Streaming channelizer Block: (block,) samples -> (n_out, n_chan)
+    channel samples per step; carries J-1 commutator rows of history.
+    Block size must be a multiple of n_chan."""
+    taps_np = lowpass_taps(n_chan) if taps is None else np.asarray(taps)
+    poly_np = polyphase_decompose(taps_np, n_chan)
+    J = poly_np.shape[0]
+    poly = jnp.asarray(poly_np)
+
+    def init():
+        return jnp.zeros((J - 1, n_chan), dtype=jnp.complex64)
+
+    def apply(hist, x):
+        rows = commutator_rows(x.astype(jnp.complex64), n_chan)
+        ext = jnp.concatenate([hist, rows], axis=-2)
+        out = channelize_ext(ext, poly)
+        return ext[..., -(J - 1):, :] if J > 1 else hist, out
+
+    return Block(init, apply, f"pfb_channelizer({n_chan})")

@@ -31,11 +31,17 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class Block:
-    """A streaming processor: pure init/apply pair (see module docstring)."""
+    """A streaming processor: pure init/apply pair (see module docstring).
+
+    `latency`: samples of pipeline delay before an input sample's effect is
+    fully emitted (e.g. the RX history carry).  The executor flushes this
+    many zero samples at end-of-stream so trailing outputs are not lost --
+    the counterpart of the reference scheduler's end-of-stream drain."""
 
     init: Callable[[], Any]
     apply: Callable[[Any, Any], tuple[Any, Any]]
     name: str = "block"
+    latency: int = 0
 
     def __call__(self, state, x):
         return self.apply(state, x)

@@ -108,10 +108,21 @@ class StreamExecutor:
 
         Dispatch is async: the Python loop enqueues block k+1 while the
         device still computes block k (double-buffering without threads).
+
+        drain=True flushes the block's pipeline latency with zero blocks
+        (so e.g. a frame detected near end-of-stream, whose ownership
+        window lags by the history length, still gets reported -- the
+        end-of-stream drain the reference scheduler performs on stop) and
+        synchronizes.
         """
         blocks, _ = pad_to_blocks(np.asarray(samples), self.block_size)
         outs = [self.push(blocks[..., i, :]) for i in range(blocks.shape[-2])]
         if drain:
+            n_flush = -(-self.block.latency // self.block_size)
+            z = np.zeros(
+                (*blocks.shape[:-2], self.block_size), dtype=blocks.dtype
+            )
+            outs.extend(self.push(z) for _ in range(n_flush))
             jax.block_until_ready(self.state)
         return outs
 

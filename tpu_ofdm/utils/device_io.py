@@ -45,6 +45,14 @@ class PackedComplex:
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def ndim(self):
+        return self.re.ndim
+
 
 def _is_packed(x) -> bool:
     return isinstance(x, PackedComplex)
@@ -145,12 +153,25 @@ def jit_safe(fn, **jit_kwargs):
 def to_host(tree):
     """Fetch a device pytree to numpy.  Accepts encoded or plain trees;
     complex leaves come back as numpy complex64.  Plain device complex
-    leaves are only legal on cpu (on TPU they would already be poisoned)."""
+    leaves are only legal on cpu (on TPU they would already be poisoned).
+
+    Uses ONE batched jax.device_get for the whole tree: on the tunneled axon
+    backend every individual readback pays ~30 ms of RTT, so per-leaf
+    np.asarray loops are catastrophically slow (measured 2026-08-17)."""
     flat, treedef = jax.tree.flatten(tree, is_leaf=_is_packed)
-    host = []
+    raw = []
+    for x in flat:  # expand PackedComplex into its leaves for one device_get
+        if _is_packed(x):
+            raw.extend((x.re, x.im))
+        else:
+            raw.append(x)
+    fetched = jax.device_get(raw)
+    host, i = [], 0
     for x in flat:
         if _is_packed(x):
-            host.append(decode(PackedComplex(np.asarray(x.re), np.asarray(x.im))))
+            host.append(decode(PackedComplex(fetched[i], fetched[i + 1])))
+            i += 2
         else:
-            host.append(np.asarray(x))
+            host.append(np.asarray(fetched[i]))
+            i += 1
     return jax.tree.unflatten(treedef, host)
