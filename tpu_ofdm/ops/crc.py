@@ -32,22 +32,71 @@ def _crc32_table_np() -> np.ndarray:
     return table
 
 
+@functools.lru_cache(maxsize=None)
+def _crc32_basis_np(cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distance-basis tables for the parallel CRC32.
+
+    CRC32 is GF(2)-linear: one byte step is reg' = A(reg) ^ table[b] with
+    A(r) = table[r & 0xFF] ^ (r >> 8), so over n bytes
+
+        reg_n = A^n(init) ^ XOR_i A^(n-1-i)(table[b_i]).
+
+    Returns (basis, initc):
+      basis[d, j] = A^d(table[1 << j])  -- contribution of byte-bit j at
+                    distance d from the END of the message; (cap, 8) uint32
+      initc[n]    = A^n(0xFFFFFFFF);  (cap + 1,) uint32
+    """
+    table = _crc32_table_np()
+
+    def A(r: np.ndarray) -> np.ndarray:
+        return table[r & 0xFF] ^ (r >> np.uint32(8))
+
+    basis = np.zeros((max(cap, 1), 8), dtype=np.uint32)
+    basis[0] = table[1 << np.arange(8)]
+    for d in range(1, cap):
+        basis[d] = A(basis[d - 1])
+    initc = np.zeros(cap + 1, dtype=np.uint32)
+    initc[0] = 0xFFFFFFFF
+    for n in range(1, cap + 1):
+        initc[n] = A(initc[n - 1 : n])[0]
+    return basis, initc
+
+
+def _xor_reduce(x: jnp.ndarray) -> jnp.ndarray:
+    """XOR of all elements, log-depth tree (static shapes)."""
+    x = x.reshape(-1)
+    n = x.shape[0]
+    while n > 1:
+        if n % 2:
+            x = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+            n += 1
+        x = x[0::2] ^ x[1::2]
+        n //= 2
+    return x[0]
+
+
 def crc32(data: jnp.ndarray, length: jnp.ndarray | int | None = None) -> jnp.ndarray:
     """CRC32 of uint8 array `data` (1-D).  If `length` is given, only the
-    first `length` bytes participate (static shape, masked update)."""
-    table = jnp.asarray(_crc32_table_np())
+    first `length` bytes participate (static shape, masked).
+
+    Fully parallel (one gather + a log-depth XOR tree) via the GF(2)
+    linearity of CRC -- the byte-serial lax.scan form cost ~15 s of XLA
+    compile time on the axon TPU backend (measured 2026-08-17) and
+    serialized execution."""
     n = data.shape[0]
     if length is None:
         length = n
-    length = jnp.asarray(length, dtype=jnp.uint32)
+    length = jnp.asarray(length, dtype=jnp.int32)
+    basis_np, initc_np = _crc32_basis_np(n)
+    basis = jnp.asarray(basis_np)
+    initc = jnp.asarray(initc_np)
 
-    def step(reg, ib):
-        i, b = ib
-        nxt = table[(reg ^ b.astype(jnp.uint32)) & 0xFF] ^ (reg >> 8)
-        return jnp.where(i < length, nxt, reg), None
-
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    reg, _ = jax.lax.scan(step, jnp.uint32(0xFFFFFFFF), (idx, data))
+    i = jnp.arange(n, dtype=jnp.int32)
+    d = length - 1 - i                                  # distance from end
+    rows = basis[jnp.clip(d, 0, n - 1)]                 # (n, 8)
+    bits = (data.astype(jnp.uint32)[:, None] >> jnp.arange(8, dtype=jnp.uint32)) & 1
+    contrib = jnp.where((bits == 1) & (d >= 0)[:, None], rows, jnp.uint32(0))
+    reg = _xor_reduce(contrib) ^ initc[jnp.clip(length, 0, n)]
     return reg ^ jnp.uint32(0xFFFFFFFF)
 
 
