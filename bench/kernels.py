@@ -1,0 +1,152 @@
+"""Per-kernel microbenchmarks with empirically-probed rooflines.
+
+Probes (stream copy -> HBM GB/s; big bf16/f32 matmul -> TFLOP/s) establish
+what THIS chip can do; each kernel row then reports achieved samples/s,
+effective GB/s over its minimal HBM traffic, and the fraction of the
+measured memory roofline that represents.  "Speed-of-light" for the
+memory-bound DSP kernels here = the stream-copy bandwidth.
+
+Traffic accounting: `bytes` counts the minimal algorithmic HBM traffic
+(inputs read once + outputs written once).  A kernel at fraction ~1.0 is
+making one fused pass; fractions far below 1.0 indicate extra materialized
+intermediates or serialized passes (e.g. cumsum's log-shift lowering) --
+the signal to reach for Pallas (SURVEY.md §7 M5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bench.util import Report, bench
+from tpu_ofdm.config import OfdmConfig
+from tpu_ofdm.kernels import fft as kfft
+from tpu_ofdm.ops import sync as ksync
+from tpu_ofdm.spectrum import channelizer as kchan
+from tpu_ofdm.spectrum import psd as kpsd
+
+C64 = 8      # bytes per complex64 (travels as 2x f32 on the wire)
+F32 = 4
+
+
+def _noise(shape, seed=0, dtype=np.complex64):
+    rng = np.random.RandomState(seed)
+    if np.issubdtype(dtype, np.complexfloating):
+        x = rng.randn(*shape) + 1j * rng.randn(*shape)
+        return x.astype(dtype)
+    return rng.randn(*shape).astype(dtype)
+
+
+def probe_membw(report: Report, mb: int = 256) -> float:
+    """Stream copy: y = x + 1 over `mb` MB of f32.  Returns GB/s."""
+    n = mb * (1 << 20) // F32
+    x = np.arange(n, dtype=np.float32) * 1e-6
+    sec = bench(lambda a: a + 1.0, (x,))
+    gbps = 2 * n * F32 / sec / 1e9  # read + write; scalar re-read ~free (fused)
+    report.add(kernel="probe_stream_copy", mb=mb, sec=sec, gbps=gbps)
+    return gbps
+
+
+def probe_matmul(report: Report, n: int = 4096) -> float:
+    """bf16 n^3 matmul.  Returns TFLOP/s."""
+    a = _noise((n, n), 1, np.float32).astype(jnp.bfloat16)
+    b = _noise((n, n), 2, np.float32).astype(jnp.bfloat16)
+    sec = bench(
+        lambda p, q: jnp.dot(p, q, preferred_element_type=jnp.float32),
+        (a, b),
+    )
+    tflops = 2 * n**3 / sec / 1e12
+    report.add(kernel="probe_matmul_bf16", n=n, sec=sec, tflops=tflops)
+    return tflops
+
+
+def bench_fft(report: Report, membw: float, mm_tflops: float):
+    """Batched matmul-DFT at OFDM/PSD-relevant sizes."""
+    for batch, n in [(1 << 17, 64), (1 << 15, 256), (1 << 13, 1024),
+                     (1 << 11, 4096)]:
+        x = _noise((batch, n), seed=n)
+        sec = bench(lambda a: kfft.fft(a), (x,))
+        samples = batch * n
+        # complex matmul = 4 real matmuls (+ four-step stages for n>256)
+        stages = 1 if n <= 256 else 2
+        flops = 8.0 * samples * (np.sqrt(n) if stages == 2 else n) * stages
+        bytes_ = samples * C64 * 2  # in + out
+        report.add(
+            kernel=f"fft{n}", batch=batch, sec=sec,
+            msamp_s=samples / sec / 1e6,
+            gbps=bytes_ / sec / 1e9,
+            frac_membw=bytes_ / sec / 1e9 / membw,
+            tflops=flops / sec / 1e12,
+            frac_mxu=flops / sec / 1e12 / mm_tflops,
+        )
+
+
+def bench_sync(report: Report, membw: float):
+    """Schmidl-Cox metric + full frame detection over a long block."""
+    spec = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk").spec
+    n = 1 << 20
+    x = _noise((n,), 3)
+
+    sec = bench(lambda a: ksync.schmidl_cox(spec, a), (x,))
+    # minimal traffic: read x (c64), write M/P/R (f32 + c64 + f32)
+    bytes_ = n * (C64 + F32 + C64 + F32)
+    report.add(
+        kernel="schmidl_cox_metric", n=n, sec=sec,
+        msamp_s=n / sec / 1e6, gbps=bytes_ / sec / 1e9,
+        frac_membw=bytes_ / sec / 1e9 / membw,
+    )
+
+    sec = bench(lambda a: ksync.detect_frames(spec, a, 8), (x,))
+    report.add(
+        kernel="detect_frames", n=n, sec=sec, msamp_s=n / sec / 1e6,
+    )
+
+    sec = bench(lambda a: ksync.moving_sum(a, 32), (np.abs(_noise((n, ), 4)).astype(np.float32),))
+    bytes_ = n * (F32 * 2)
+    report.add(
+        kernel="moving_sum_w32", n=n, sec=sec, msamp_s=n / sec / 1e6,
+        gbps=bytes_ / sec / 1e9, frac_membw=bytes_ / sec / 1e9 / membw,
+    )
+
+
+def bench_channelizer(report: Report, membw: float):
+    for n_chan in (64, 256):
+        n = 1 << 21
+        x = _noise((n,), 5)
+        taps = kchan.lowpass_taps(n_chan)
+        sec = bench(lambda a: kchan.channelize(a, n_chan, taps), (x,))
+        bytes_ = n * C64 * 2  # in + out; FIR state ~free
+        report.add(
+            kernel=f"pfb_channelizer{n_chan}", n=n, sec=sec,
+            msamp_s=n / sec / 1e6, gbps=bytes_ / sec / 1e9,
+            frac_membw=bytes_ / sec / 1e9 / membw,
+        )
+
+
+def bench_psd(report: Report, membw: float):
+    n, fft_len = 1 << 21, 1024
+    x = _noise((n,), 6)
+    sec = bench(lambda a: kpsd.psd_frames(a, fft_len), (x,))
+    bytes_ = n * (C64 + F32)
+    report.add(
+        kernel=f"psd_frames{fft_len}", n=n, sec=sec, msamp_s=n / sec / 1e6,
+        gbps=bytes_ / sec / 1e9, frac_membw=bytes_ / sec / 1e9 / membw,
+    )
+
+
+def main():
+    report = Report("kernels")
+    print(f"# backend={jax.default_backend()} device={jax.devices()[0]}")
+    membw = probe_membw(report)
+    mm = probe_matmul(report)
+    bench_fft(report, membw, mm)
+    bench_sync(report, membw)
+    bench_channelizer(report, membw)
+    bench_psd(report, membw)
+    report.save()
+
+
+if __name__ == "__main__":
+    main()
