@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_ofdm.config import OfdmSpec
+from tpu_ofdm.kernels import scan
 
 
 def sliding_max(x: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -56,11 +57,40 @@ def sliding_max_same(x: jnp.ndarray, w: int, pad_left: int) -> jnp.ndarray:
     return sliding_max(padded, w)
 
 
+def coarse_sliding_max_same(x: jnp.ndarray, w: int, g: int = 128) -> jnp.ndarray:
+    """Block-granular same-length sliding max: out[i] = max over a window
+    that CONTAINS the centered w-window and at most w + 3g samples.
+
+    Exact sliding max costs ~log2(w) full HBM passes (the log-doubling
+    ladder); this computes per-block maxima (one reduce pass), runs the
+    tiny ladder on the n/g block array, and broadcasts back -- ~1 pass
+    total.  Both uses in this module (energy gate, peak non-max
+    suppression) tolerate the enlarged window: the gate is a heuristic,
+    and for NMS it only merges peaks closer than ~(w/2 + 2g) samples,
+    well under one frame length."""
+    n = x.shape[-1]
+    nb = -(-n // g)
+    pad = nb * g - n
+    xb = jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(0, pad)], constant_values=-jnp.inf
+    ).reshape(*x.shape[:-1], nb, g)
+    rowmax = xb.max(-1)
+    k = -(-(w // 2 + g) // g)
+    wm = sliding_max_same(rowmax, 2 * k + 1, pad_left=k)
+    full = jnp.broadcast_to(wm[..., None], (*wm.shape, g))
+    return full.reshape(*x.shape[:-1], nb * g)[..., :n]
+
+
 def moving_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
     """Valid-mode moving sum along the last axis: out[d] = sum x[d:d+w].
-    Output length = n - w + 1.  Implemented with a single cumsum (one HBM
-    pass) rather than the reference's stateful moving_average block."""
-    c = jnp.cumsum(x, axis=-1)
+    Output length = n - w + 1.  Single cumsum (the Pallas one-pass kernel on
+    TPU, kernels/scan.py) + lead-lag difference, rather than the reference's
+    stateful moving_average block."""
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        re, im = scan.moving_sums([jnp.real(x), jnp.imag(x)], w)
+        return (re + 1j * im).astype(jnp.complex64)
+    c = scan.cumsum(x.astype(jnp.float32) if x.dtype == jnp.float64 else x,
+                    axis=-1)
     lead = c[..., w - 1:]
     lag = jnp.concatenate(
         [jnp.zeros_like(c[..., :1]), c[..., : c.shape[-1] - w]], axis=-1
@@ -77,18 +107,30 @@ class SyncMetric(NamedTuple):
 def schmidl_cox(spec: OfdmSpec, r: jnp.ndarray) -> SyncMetric:
     """Compute the Schmidl-Cox metric over a sample block (last axis)."""
     L = spec.fft_len // 2
-    prod = jnp.conj(r[..., :-L]) * r[..., L:]
-    energy = jnp.abs(r[..., L:]) ** 2
-    P = moving_sum(prod, L)
-    R = moving_sum(energy, L)
-    M = jnp.abs(P) ** 2 / jnp.maximum(R, 1e-12) ** 2
+    n = r.shape[-1]
+    if scan.use_pallas() and n >= (1 << 15) and L // 128 + 1 < 128:
+        # fully fused single-HBM-pass kernel (kernels/sc_metric.py)
+        from tpu_ofdm.kernels.sc_metric import sc_sliding_metric
+
+        P, R, M = sc_sliding_metric(r.astype(jnp.complex64), L)
+    else:
+        prod = jnp.conj(r[..., :-L]) * r[..., L:]
+        energy = jnp.abs(r[..., L:]) ** 2
+        # one fused sliding-sum pass for all three real streams
+        p_re, p_im, R = scan.moving_sums(
+            [jnp.real(prod), jnp.imag(prod), energy], L
+        )
+        P = (p_re + 1j * p_im).astype(jnp.complex64)
+        M = None
+    if M is None:
+        M = jnp.abs(P) ** 2 / jnp.maximum(R, 1e-12) ** 2
     # Suppress low-energy regions where the ratio is unreliable.  The energy
     # scale is LOCAL (sliding max over ~2 symbols) rather than the block
     # max: a block-global gate would silently drop a weak frame whenever a
     # strong one shares the block (dynamic-range bug), and would make
     # detection depend on how the stream is chopped into blocks.
     w = 2 * spec.sym_len + 1
-    local = sliding_max_same(R, w, pad_left=w // 2)
+    local = coarse_sliding_max_same(R, w)
     M = jnp.where(R > 0.05 * local, M, 0.0)
     return SyncMetric(M.astype(jnp.float32), P.astype(jnp.complex64), R)
 
@@ -124,11 +166,23 @@ def detect_frames(
     sm = sm + jnp.arange(n, dtype=jnp.float32) * 1e-7
     # windowed non-max suppression: a winner is the max of its sym_len window
     w = spec.sym_len
-    win_max = sliding_max_same(sm, w, pad_left=w // 2)
+    win_max = coarse_sliding_max_same(sm, w)
     is_peak = (sm >= win_max) & (sm > threshold)
-    # first K peak positions (ascending)
+    # First K peak positions (ascending).  jnp.sort on 1M elements is a full
+    # bitonic sort and even top_k over the raw array measured 1.4 ms on TPU
+    # v5 lite -- dominating the whole detector.  The NMS window guarantees
+    # peaks are > w/2 apart, so a min-reduce over segments of seg <= w/2
+    # samples keeps at most one peak per segment losslessly, and top_k runs
+    # on the seg-times-smaller array.
     pos = jnp.where(is_peak, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
-    pos = jnp.sort(pos)[:max_frames]
+    seg = min(32, max(1, w // 2))
+    n_pad = -(-n // seg) * seg
+    segmin = jnp.min(
+        jnp.pad(pos, (0, n_pad - n), constant_values=n).reshape(-1, seg),
+        axis=-1,
+    )
+    neg, _ = jax.lax.top_k(-segmin, max_frames)
+    pos = -neg  # top_k sorts descending, so -neg is ascending
     valid = pos < n
     safe = jnp.minimum(pos, n - 1)
     # smoothing window [d, d+cp] has apex at d_sm where plateau center is
