@@ -57,9 +57,12 @@ def make_stream(spec, n_blocks: int, block_size: int, seed=0):
 def main():
     cfg = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk")
     spec = cfg.spec
-    sc = StreamConfig(block_size=1 << 17, max_frames_per_block=8)
+    # 2^19-sample blocks: the detect chain has a ~550 us fixed cost per step
+    # (per-fusion launch overhead on this backend, measured 2026-08-18), so
+    # throughput scales almost linearly with block size until HBM-bound
+    sc = StreamConfig(block_size=1 << 19, max_frames_per_block=64)
 
-    blocks = make_stream(spec, 12, sc.block_size)
+    blocks = make_stream(spec, 4, sc.block_size)
     # Pre-stage encoded blocks on device: the tunneled axon backend's
     # host->device path runs at ~50 MB/s with ~30 ms latency (an artifact of
     # the tunnel, not of TPU hardware), which would swamp the compute being
@@ -76,7 +79,7 @@ def main():
     # detection mask to one scalar on device and fetches it.
     import jax.numpy as jnp
 
-    n_timed = 192
+    n_timed = 96
 
     def reduce_valid(vs):
         return jnp.sum(jnp.stack([v.sum() for v in vs]))
