@@ -41,7 +41,11 @@ class DeviceFeed:
     def _worker(self):
         try:
             for block in self._src:
-                staged = jax.device_put(maybe_encode(np.asarray(block)))
+                # blocks may be plain sample arrays OR already-packed pytrees
+                # (e.g. runtime.FileStreamer.packed() yields PackedComplex)
+                if isinstance(block, (list, np.ndarray)):
+                    block = np.asarray(block)
+                staged = jax.device_put(maybe_encode(block))
                 self._q.put(staged)
         except BaseException as e:  # surface in the consumer thread
             self._err = e
