@@ -179,3 +179,19 @@ def test_batched_tx():
         assert f.crc_ok
         assert int(f.payload_len) == lens[i]
         assert np.array_equal(f.payload[: lens[i]], bufs[i, : lens[i]])
+
+
+def test_loopback_with_rolloff():
+    """TX pulse shaping (rolloff_len>0) must not break the RX chain."""
+    cfg = OfdmConfig(modulation="qpsk", max_payload_bytes=64, rolloff_len=6)
+    spec = cfg.spec
+    txr = _tx(cfg)
+    stream = jnp.concatenate(
+        [jnp.zeros(300, jnp.complex64), txr.samples, jnp.zeros(300, jnp.complex64)]
+    )
+    res = jax.jit(lambda s: rx_block(spec, s, max_frames=4))(stream)
+    v = np.asarray(res.valid)
+    assert v.sum() == 1
+    i = int(np.argmax(v))
+    f = jax.tree.map(lambda x: np.asarray(x)[i], res.frames)
+    assert f.crc_ok and bytes(f.payload[: len(PAYLOAD)]) == PAYLOAD

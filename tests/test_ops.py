@@ -204,3 +204,34 @@ def test_channel_model_against_golden():
     want = G.channel(x, snr_db=None, cfo=0.5, fft_len=64, timing_offset=7,
                      multipath=taps, phase=0.3)
     np.testing.assert_allclose(y, want.astype(np.complex64), atol=1e-3)
+
+
+def test_cyclic_prefix_rolloff():
+    """Rolloff flanks: body + CP tail unchanged, flanks sum to unity with
+    the previous symbol's cyclic tail, RX roundtrip unaffected."""
+    from tpu_ofdm.config import OfdmConfig
+
+    cfg = OfdmConfig(fft_len=64, cp_len=16, rolloff_len=4)
+    sp = cfg.spec
+    rng = np.random.RandomState(9)
+    grid = (rng.randn(3, 64) + 1j * rng.randn(3, 64)).astype(np.complex64)
+    td = np.asarray(transform.ofdm_ifft(jnp.asarray(grid)))
+    out = np.asarray(transform.add_cyclic_prefix(sp, jnp.asarray(td)))
+    assert out.shape == (3 * 80,)
+    s = out.reshape(3, 80)
+    # everything past the flank is the plain CP+body serialization
+    plain = np.concatenate([td[:, -16:], td], axis=-1)
+    np.testing.assert_allclose(s[:, 4:], plain[:, 4:], atol=1e-6)
+    # flank = up*own_cp + (1-up)*prev_cyclic_tail
+    i = np.arange(1, 5, dtype=np.float32)
+    up = 0.5 * (1 - np.cos(np.pi * i / 5))
+    for j in range(3):
+        prev = td[j - 1, :4] * (1 - up) if j > 0 else 0.0
+        np.testing.assert_allclose(
+            s[j, :4], plain[j, :4] * up + prev, atol=1e-6
+        )
+    # RX CP-drop sees identical FFT bodies
+    back = np.asarray(
+        transform.ofdm_fft(transform.remove_cyclic_prefix(sp, jnp.asarray(out), 3))
+    )
+    np.testing.assert_allclose(back, grid, atol=1e-5)

@@ -55,8 +55,11 @@ class OfdmConfig:
     max_payload_bytes: int = 256   # wire bytes incl. CRC32; bounds frame size
     sync_threshold: float = 0.6
     max_int_cfo: int = 4
+    rolloff_len: int = 0   # raised-cosine flank between symbols, <= cp_len
 
     def __post_init__(self):
+        if not 0 <= self.rolloff_len <= self.cp_len:
+            raise ValueError("rolloff_len must be in [0, cp_len]")
         if self.occupied_carriers is None:
             object.__setattr__(
                 self, "occupied_carriers", default_occupied_carriers(self.fft_len)
@@ -94,6 +97,7 @@ class OfdmSpec:
         self.fft_len = cfg.fft_len
         self.cp_len = cfg.cp_len
         self.sym_len = cfg.fft_len + cfg.cp_len
+        self.rolloff_len = cfg.rolloff_len
         self.modulation = cfg.modulation
         self.bits_per_symbol = BITS_PER_SYMBOL[cfg.modulation]
 

@@ -35,9 +35,33 @@ def ofdm_fft(symbols: jnp.ndarray) -> jnp.ndarray:
 
 def add_cyclic_prefix(spec: OfdmSpec, td_syms: jnp.ndarray) -> jnp.ndarray:
     """(..., n_syms, fft_len) -> (..., n_syms*(fft_len+cp_len)) serialized
-    samples with CP prepended per symbol."""
+    samples with CP prepended per symbol.
+
+    With spec.rolloff_len = r > 0, adjacent symbols are pulse-shaped with a
+    raised-cosine flank (cf. ofdm_cyclic_prefixer's rolloff,
+    gr-digital/lib/ofdm_cyclic_prefixer_impl.cc, unverified path): the first
+    r samples of each symbol's CP ramp up while the previous symbol's
+    cyclic tail (the first r samples of its FFT body, which cyclically
+    continue its end) ramps down into them, smoothing the spectral skirts.
+    The flanks sum to 1, live entirely inside the CP (r <= cp_len), and the
+    serialized frame length is unchanged, so the RX CP-drop path is
+    untouched.  The first symbol ramps up from zero; the final tail is
+    truncated (static shapes)."""
     cp = td_syms[..., -spec.cp_len:]
     with_cp = jnp.concatenate([cp, td_syms], axis=-1)
+    r = spec.rolloff_len
+    if r > 0:
+        import numpy as np
+
+        i = np.arange(1, r + 1, dtype=np.float32)
+        up = jnp.asarray(0.5 * (1.0 - np.cos(np.pi * i / (r + 1))))
+        # cyclic tail of each symbol = first r samples of its FFT body
+        tails = td_syms[..., :r] * (1.0 - up)
+        prev_tails = jnp.concatenate(
+            [jnp.zeros_like(tails[..., :1, :]), tails[..., :-1, :]], axis=-2
+        )
+        flank = with_cp[..., :r] * up + prev_tails
+        with_cp = jnp.concatenate([flank, with_cp[..., r:]], axis=-1)
     return with_cp.reshape(*td_syms.shape[:-2], -1)
 
 

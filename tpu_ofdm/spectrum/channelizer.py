@@ -94,7 +94,8 @@ def channelizer_block(n_chan: int, taps: np.ndarray | None = None) -> Block:
     poly = jnp.asarray(poly_np)
 
     def init():
-        return jnp.zeros((J - 1, n_chan), dtype=jnp.complex64)
+        # numpy: eager device complex64 is illegal on this TPU backend
+        return np.zeros((J - 1, n_chan), dtype=np.complex64)
 
     def apply(hist, x):
         rows = commutator_rows(x.astype(jnp.complex64), n_chan)

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_ofdm.spectrum.psd import psd_frames
 from tpu_ofdm.stream.block import Block
@@ -39,10 +40,10 @@ def spectrum_probe_block(
 
     def init():
         return (
-            jnp.zeros(fft_len, dtype=jnp.float32),            # sum power
-            jnp.full(fft_len, -jnp.inf, dtype=jnp.float32),   # max power
-            jnp.full(fft_len, jnp.inf, dtype=jnp.float32),    # min power
-            jnp.zeros((), dtype=jnp.int32),                   # frame count
+            np.zeros(fft_len, dtype=np.float32),              # sum power
+            np.full(fft_len, -np.inf, dtype=np.float32),      # max power
+            np.full(fft_len, np.inf, dtype=np.float32),       # min power
+            np.zeros((), dtype=np.int32),                     # frame count
         )
 
     def apply(state, x):

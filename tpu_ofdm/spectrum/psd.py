@@ -83,8 +83,8 @@ def log_pwr_fft_block(
     def init():
         # IIR state: (warmed_up_flag as float, last averaged frame)
         return (
-            jnp.zeros((), dtype=jnp.float32),
-            jnp.zeros(fft_len, dtype=jnp.float32),
+            np.zeros((), dtype=np.float32),
+            np.zeros(fft_len, dtype=np.float32),
         )
 
     def apply(state, x):

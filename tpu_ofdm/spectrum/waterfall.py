@@ -31,7 +31,7 @@ def waterfall_block(
     worker's frame-rate throttling)."""
 
     def init():
-        return jnp.full((depth, fft_len), -200.0, dtype=jnp.float32)
+        return np.full((depth, fft_len), -200.0, dtype=np.float32)
 
     def apply(ring, x):
         pwr = psd_frames(x, fft_len, window)[..., ::decim, :]

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,7 +113,9 @@ def delay(n: int, dtype=jnp.complex64) -> Block:
     """Delay by n samples (cf. blocks.delay): carries the last n inputs."""
 
     def init():
-        return jnp.zeros(n, dtype=dtype)
+        # numpy: eager device complex64 is illegal on this TPU backend
+        # (utils.device_io); the executor packs states at the boundary
+        return np.zeros(n, dtype=np.dtype(jnp.dtype(dtype)))
 
     def apply(state, x):
         ext = jnp.concatenate([state, x], axis=-1)
@@ -129,7 +132,7 @@ def moving_average(n: int, dtype=jnp.float32, scale: float | None = None) -> Blo
         scale = 1.0
 
     def init():
-        return jnp.zeros(n - 1, dtype=dtype)
+        return np.zeros(n - 1, dtype=np.dtype(jnp.dtype(dtype)))
 
     def apply(state, x):
         ext = jnp.concatenate([state, x], axis=-1)
@@ -158,7 +161,7 @@ def single_pole_iir(alpha: float, dtype=jnp.float32) -> Block:
     a = dtype(alpha)
 
     def init():
-        return jnp.zeros((), dtype=dtype)
+        return np.zeros((), dtype=np.dtype(jnp.dtype(dtype)))
 
     def apply(y0, x):
         m = jnp.full(x.shape[-1], r, dtype=dtype)
@@ -176,27 +179,69 @@ def single_pole_iir(alpha: float, dtype=jnp.float32) -> Block:
     return Block(init, apply, f"single_pole_iir({alpha})")
 
 
+# Tap counts above this use the frame-matmul FIR (MXU); below, shifted-add
+# on the VPU wins (matmul would waste (F+K-1)/K of its MACs).
+_FIR_MATMUL_MIN_TAPS = 33
+_FIR_FRAME = 128  # output frame width = one MXU tile of lanes
+
+
+def fir_ext(ext: jnp.ndarray, taps: np.ndarray, n_out: int) -> jnp.ndarray:
+    """Causal FIR over a history-extended stream (the shared overlap-save
+    core): ext (..., n_out + K - 1) whose first K-1 samples are history,
+    y[m] = sum_k taps[k] * ext[K - 1 - k + m].
+
+    jnp.convolve/lax.conv does NOT lower on this TPU stack (verified
+    2026-08-18: UNIMPLEMENTED for real and complex), so the reference's
+    VOLK dot-product loop maps to either K fused shifted multiply-adds on
+    the VPU (short filters) or an overlap-save frame matmul against a
+    Toeplitz tap matrix on the MXU (long filters): frames (nf, F+K-1) @
+    T (F+K-1, F) with T[r, c] = taps[K-1+c-r].
+    """
+    taps = np.asarray(taps)
+    K = len(taps)
+    if K < _FIR_MATMUL_MIN_TAPS:
+        tj = jnp.asarray(taps)
+        acc = tj[K - 1] * ext[..., :n_out]
+        for k in range(K - 2, -1, -1):
+            acc = acc + tj[k] * ext[..., K - 1 - k : K - 1 - k + n_out]
+        return acc
+    F = _FIR_FRAME
+    nf = -(-n_out // F)
+    pad = nf * F + K - 1 - ext.shape[-1]
+    if pad > 0:
+        z = jnp.zeros((*ext.shape[:-1], pad), dtype=ext.dtype)
+        ext = jnp.concatenate([ext, z], axis=-1)
+    idx = (np.arange(nf) * F)[:, None] + np.arange(F + K - 1)[None, :]
+    frames = ext[..., idx]  # (..., nf, F+K-1) overlapped gather
+    t_np = np.zeros((F + K - 1, F), dtype=taps.dtype)
+    c = np.arange(F)
+    for k in range(K):
+        t_np[K - 1 + c - k, c] = taps[k]
+    y = jnp.einsum(
+        "...nr,rc->...nc", frames, jnp.asarray(t_np),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return y.reshape(*y.shape[:-2], nf * F)[..., :n_out]
+
+
 def fir_filter(taps, decim: int = 1, dtype=jnp.complex64) -> Block:
     """Causal FIR y[n] = sum_k taps[k] x[n-k], optionally decimating
     (cf. kernel::fir_filter_ccf / fir_filter_ccc, gr-filter/lib/fir_filter.cc).
 
     Streaming via overlap-save: carries the last len(taps)-1 input samples.
     Block length must be a multiple of `decim`; output is len(x)//decim with
-    output m tapping x at n = m*decim (phase 0).
+    output m tapping x at n = m*decim (phase 0).  Compute core: fir_ext.
     """
     taps = np.asarray(taps)
     nt = len(taps)
-    tj = jnp.asarray(taps, dtype=dtype)
 
     def init():
-        return jnp.zeros(nt - 1, dtype=dtype)
+        return np.zeros(nt - 1, dtype=np.dtype(jnp.dtype(dtype)))
 
     def apply(state, x):
-        ext = jnp.concatenate([state, x], axis=-1)
-        # valid correlation with reversed taps = causal convolution
-        y = jnp.convolve(ext, tj, mode="valid") if ext.ndim == 1 else None
-        if y is None:
-            raise NotImplementedError("fir_filter block expects 1-D streams")
+        n = x.shape[-1]
+        ext = jnp.concatenate([state, x.astype(dtype)], axis=-1)
+        y = fir_ext(ext, taps, n)
         if decim > 1:
             y = y[..., ::decim]
         return ext[..., -(nt - 1):] if nt > 1 else state, y
@@ -212,7 +257,7 @@ def freq_xlating_fir(taps, center_freq_rel: float, decim: int = 1) -> Block:
     base = fir_filter(taps, decim=decim)
 
     def init():
-        return (jnp.zeros((), dtype=jnp.float32), base.init())
+        return (np.zeros((), dtype=np.float32), base.init())
 
     def apply(state, x):
         ph0, fs = state
@@ -228,12 +273,56 @@ def freq_xlating_fir(taps, center_freq_rel: float, decim: int = 1) -> Block:
     return Block(init, apply, f"freq_xlating_fir({len(taps)})")
 
 
+def interpolating_fir(taps, interp: int, dtype=jnp.complex64) -> Block:
+    """Interpolating FIR (cf. interp_fir_filter_ccf,
+    gr-filter/lib/interp_fir_filter.cc, unverified path): upsample by
+    `interp` with polyphase decomposition -- y[m*L + p] = sum_k
+    taps[k*L + p] * x[m - k] -- instead of the zero-stuff-then-filter
+    identity, so no multiplies are wasted on the stuffed zeros.  Each of the
+    L phase filters is a small static convolution; outputs interleave to a
+    len(x)*L stream.  Carries ceil(nt/L)-1 input samples (overlap-save)."""
+    taps = np.asarray(taps)
+    L = int(interp)
+    nt = len(taps)
+    k = -(-nt // L)  # taps per phase arm
+    poly = np.zeros((k, L), dtype=taps.dtype)
+    poly.ravel()[:nt] = taps  # poly[k, p] = taps[k*L + p]
+
+    def init():
+        return np.zeros(k - 1, dtype=np.dtype(jnp.dtype(dtype)))
+
+    def apply(state, x):
+        n = x.shape[-1]
+        ext = jnp.concatenate([state, x.astype(dtype)], axis=-1)
+        phases = [fir_ext(ext, poly[:, p], n) for p in range(L)]
+        y = jnp.stack(phases, axis=-1).reshape(*x.shape[:-1], n * L)
+        return (ext[..., -(k - 1):] if k > 1 else state), y
+
+    return Block(init, apply, f"interp_fir({nt},L={L})")
+
+
+def rational_resampler(taps, interp: int, decim: int) -> Block:
+    """Rate change by interp/decim (cf. rational_resampler_ccf): polyphase
+    interpolation followed by decimation; block length must be a multiple
+    of `decim` after interpolation."""
+    up = interpolating_fir(taps, interp)
+
+    def init():
+        return up.init()
+
+    def apply(state, x):
+        state, y = up.apply(state, x)
+        return state, y[..., ::decim]
+
+    return Block(init, apply, f"resampler({interp}/{decim})")
+
+
 def head(n: int) -> Block:
     """Pass samples through until n total, then zero + mask (cf. blocks.head;
     static-shape version returns (y, mask))."""
 
     def init():
-        return jnp.zeros((), dtype=jnp.int64)
+        return np.zeros((), dtype=np.int64)
 
     def apply(count, x):
         m = x.shape[-1]
@@ -249,7 +338,7 @@ def probe_rate() -> Block:
     time to get samples/s.  State IS the metric."""
 
     def init():
-        return jnp.zeros((), dtype=jnp.int64)
+        return np.zeros((), dtype=np.int64)
 
     def apply(count, x):
         return count + x.shape[-1], x
