@@ -95,7 +95,12 @@ class StreamExecutor:
         """Process one time-block (must be exactly block_size samples).
         Outputs are encoded on non-cpu backends (see utils.device_io);
         use to_host/collect helpers to read them."""
-        assert block_samples.shape[-1] == self.block_size
+        # multi-input flowgraphs take a tuple of streams; every array leaf
+        # must carry block_size samples on its last axis
+        assert all(
+            leaf.shape[-1] == self.block_size
+            for leaf in jax.tree.leaves(block_samples)
+        )
         t0 = time.perf_counter()
         self.state, out = self._step(self.state, maybe_encode(block_samples))
         self.samples_in += self.block_size
