@@ -27,6 +27,19 @@ class Pdu:
     payload: bytes
     meta: dict[str, Any] = field(default_factory=dict)
 
+    def to_bytes(self) -> bytes:
+        """Typed wire form via io.pmt (cf. pmt::serialize of a PDU pair)."""
+        from tpu_ofdm.io import pmt
+
+        return pmt.dumps_pdu(self.meta, self.payload)
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "Pdu":
+        from tpu_ofdm.io import pmt
+
+        meta, payload = pmt.loads_pdu(buf)
+        return cls(payload, meta)
+
 
 class PduQueue:
     """Thread-safe typed queue of Pdus (replaces message-port wiring)."""
@@ -55,6 +68,39 @@ class PduQueue:
 
     def __len__(self) -> int:
         return self._q.qsize()
+
+
+class UdpPduLink:
+    """Typed PDUs over UDP datagrams (cf. blocks.socket_pdu in UDP mode):
+    each datagram is one pmt-serialized (metadata, payload) pair."""
+
+    def __init__(self, bind_port: int, remote: tuple[str, int] | None = None):
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind(("0.0.0.0", bind_port))
+        self.remote = remote
+
+    @property
+    def port(self) -> int:
+        return self.sock.getsockname()[1]
+
+    def send(self, pdu: Pdu | bytes, **meta):
+        if not isinstance(pdu, Pdu):
+            pdu = Pdu(bytes(pdu), dict(meta))
+        assert self.remote is not None
+        self.sock.sendto(pdu.to_bytes(), self.remote)
+
+    def receive(self, timeout: float = 1.0) -> Pdu | None:
+        self.sock.settimeout(timeout)
+        try:
+            data, peer = self.sock.recvfrom(1 << 16)
+        except (socket.timeout, BlockingIOError):
+            return None
+        if self.remote is None:
+            self.remote = peer
+        return Pdu.from_bytes(data)
+
+    def close(self):
+        self.sock.close()
 
 
 class UdpSampleLink:
