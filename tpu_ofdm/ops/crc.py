@@ -117,12 +117,35 @@ def check_crc32(data: jnp.ndarray, wire_len: jnp.ndarray | int) -> jnp.ndarray:
     return (got == want) & (wire_len >= 4)
 
 
-def crc8_bits(bits: jnp.ndarray) -> jnp.ndarray:
-    """CRC-8 poly 0x07, init 0, over an MSB-first bit vector (static length)."""
-    def step(reg, b):
-        fb = ((reg >> 7) ^ b.astype(jnp.uint32)) & 1
-        reg = ((reg << 1) & 0xFF) ^ jnp.where(fb == 1, jnp.uint32(0x07), jnp.uint32(0))
-        return reg, None
+@functools.lru_cache(maxsize=None)
+def _crc8_powers_np(n: int) -> np.ndarray:
+    """P[d] = L^d(0x07) where L is the one-bit CRC-8 step on the register:
+    L(r) = ((r << 1) & 0xFF) ^ (0x07 if r & 0x80 else 0).  The bit step
+    reg' = L(reg) ^ b*0x07 is GF(2)-linear, so over n bits (init 0)
+    reg_n = XOR_{i: b_i=1} P[n-1-i]."""
+    p = np.zeros(max(n, 1), dtype=np.uint32)
+    p[0] = 0x07
+    for d in range(1, n):
+        r = int(p[d - 1])
+        p[d] = ((r << 1) & 0xFF) ^ (0x07 if r & 0x80 else 0)
+    return p
 
-    reg, _ = jax.lax.scan(step, jnp.uint32(0), bits.astype(jnp.uint32))
-    return reg
+
+def crc8_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """CRC-8 poly 0x07, init 0, over an MSB-first bit vector (static
+    length).  Fully parallel via GF(2) linearity (one table row per bit +
+    log-depth XOR tree) -- the bit-serial lax.scan form serialized 24 tiny
+    steps per frame slot when vmapped over the RX's K slots."""
+    n = bits.shape[-1]
+    rows = jnp.asarray(_crc8_powers_np(n)[::-1].copy())  # rows[i] = P[n-1-i]
+    contrib = jnp.where(bits.astype(jnp.uint32) == 1, rows, jnp.uint32(0))
+    while contrib.shape[-1] > 1:
+        m = contrib.shape[-1]
+        if m % 2:
+            contrib = jnp.concatenate(
+                [contrib, jnp.zeros((*contrib.shape[:-1], 1), contrib.dtype)],
+                axis=-1,
+            )
+            m += 1
+        contrib = contrib[..., 0::2] ^ contrib[..., 1::2]
+    return contrib[..., 0]
