@@ -21,3 +21,16 @@ from tpu_ofdm.shard.rx import (  # noqa: F401
     collect_sharded_frames,
     sharded_rx_capture_fn,
 )
+from tpu_ofdm.shard.distributed import (  # noqa: F401
+    LinkCounters,
+    MeshHeartbeat,
+    all_gather_spectrum,
+    barrier,
+    broadcast_control,
+    counters_from_rx,
+    global_mesh,
+    initialize,
+    metrics_from_counters,
+    psum_tree,
+    shard_capture,
+)

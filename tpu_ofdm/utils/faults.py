@@ -9,8 +9,8 @@ frames).  The TPU build's story, testable on one host:
     duplicating time-blocks in tests";
   * `Watchdog` detects a stalled pipeline from lack of progress on a
     monotonic counter (the single-host analog of the multi-host heartbeat;
-    over pods the same counter is aggregated with psum and watched per
-    host);
+    over pods the same counter feeds shard.distributed.MeshHeartbeat, which
+    all-gathers per-process counters so every host watches every other);
   * recovery is checkpoint/resume (stream.checkpoint): executor carries are
     pure pytrees, so a restarted process resumes at the last block boundary.
 """
