@@ -10,9 +10,15 @@ bench/, milestone M6-M7).
 
 Method: steady-state samples/s of the full jitted RX chain (Schmidl-Cox
 sync -> CFO derotate -> FFT demod -> chanest -> equalize -> demap -> CRC)
-over a continuous stream containing real frames at ~20% duty cycle, with
-host->device transfer included (the honest streaming path).  Warmup steps
-are excluded; timing uses block_until_ready.
+over a continuous stream of 2^22-sample blocks carrying 56 real frames per
+block (burst traffic within the 64-frame-slot capacity).  Every injected
+frame must be detected AND demodulated with a valid header -- the count is
+asserted, so the number cannot be inflated by dropping work (the r1 bench
+only asserted n_frames > 0).  Blocks are pre-staged on device because the
+tunneled axon backend's host->device path (~50 MB/s, ~30 ms latency) is an
+artifact of this environment, not of TPU hardware; production ingest
+double-buffers via io.feed.  Warmup excluded; timing ends with a real
+readback (see note below).
 """
 
 import json
@@ -23,50 +29,53 @@ import numpy as np
 import jax
 
 from tpu_ofdm.config import OfdmConfig, StreamConfig
-from tpu_ofdm.modem.rx_stream import rx_stream_block
+from tpu_ofdm.modem.rx_stream import history_len, rx_stream_block
 from tpu_ofdm.stream.executor import StreamExecutor
 from tpu_ofdm.utils.device_io import maybe_encode
 
 BASELINE_SAMPLES_PER_S = 1e9  # north-star aggregate target (BASELINE.json)
 
+FRAMES_PER_BLOCK = 56
 
-def make_stream(spec, n_blocks: int, block_size: int, seed=0):
-    """n_blocks of samples with frames at ~20% duty cycle + noise floor.
+
+def make_blocks(spec, n_blocks: int, block_size: int, seed=0):
+    """Blocks with FRAMES_PER_BLOCK frames each over a noise floor.
 
     Frames come from the frozen numpy golden TX (bit-identical to modem.tx,
     asserted by tests/test_modem.py) to keep the benchmark's compile budget
-    on the RX chain being measured."""
+    on the RX chain being measured.  Frames are placed fully inside each
+    block at identical offsets so that recycling the staged blocks in any
+    order yields a stream whose every frame is intact and countable.
+    """
     import tests.golden.golden_ofdm as G
 
     rng = np.random.RandomState(seed)
-    total = n_blocks * block_size
     msg = bytes(range(64)) * 2
     gp = G.GoldenOfdmParams(
         fft_len=spec.fft_len, cp_len=spec.cp_len, modulation=spec.modulation
     )
     frame = G.tx_frame(gp, msg).astype(np.complex64)
-    stream = (rng.randn(total) + 1j * rng.randn(total)).astype(np.complex64) * 0.02
-    gap = int(len(frame) / 0.2)
-    pos = 100
-    while pos + len(frame) < total:
-        stream[pos : pos + len(frame)] += frame
-        pos += gap
-    return stream.reshape(n_blocks, block_size)
+    gap = (block_size - 2 * len(frame)) // FRAMES_PER_BLOCK
+    assert gap > len(frame), "frames would overlap"
+    blocks = (
+        rng.randn(n_blocks, block_size) + 1j * rng.randn(n_blocks, block_size)
+    ).astype(np.complex64) * 0.02
+    for b in range(n_blocks):
+        for j in range(FRAMES_PER_BLOCK):
+            pos = 100 + j * gap
+            blocks[b, pos : pos + len(frame)] += frame
+    return blocks
 
 
 def main():
     cfg = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk")
     spec = cfg.spec
-    # 2^19-sample blocks: the detect chain has a ~550 us fixed cost per step
-    # (per-fusion launch overhead on this backend, measured 2026-08-18), so
-    # throughput scales almost linearly with block size until HBM-bound
-    sc = StreamConfig(block_size=1 << 19, max_frames_per_block=64)
+    # 2^22-sample blocks: the detect chain has a ~1.3 ms fixed cost per step
+    # (per-fusion launch overhead on this backend, bench/profile_rx.py
+    # 2026-08-19), so throughput rises with block size until HBM-bound.
+    sc = StreamConfig(block_size=1 << 22, max_frames_per_block=64)
 
-    blocks = make_stream(spec, 4, sc.block_size)
-    # Pre-stage encoded blocks on device: the tunneled axon backend's
-    # host->device path runs at ~50 MB/s with ~30 ms latency (an artifact of
-    # the tunnel, not of TPU hardware), which would swamp the compute being
-    # measured.  Production ingest double-buffers via io.feed.
+    blocks = make_blocks(spec, 4, sc.block_size)
     enc = [jax.device_put(maybe_encode(b)) for b in blocks]
     jax.block_until_ready(enc)
 
@@ -79,7 +88,7 @@ def main():
     # detection mask to one scalar on device and fetches it.
     import jax.numpy as jnp
 
-    n_timed = 96
+    n_timed = 24
 
     def reduce_valid(vs):
         return jnp.sum(jnp.stack([v.sum() for v in vs]))
@@ -95,10 +104,17 @@ def main():
         return time.perf_counter() - t0, n_frames
 
     trial()  # warmup: compiles the step + the reducer
+    ex.reset()
     results = [trial() for _ in range(3)]
     dt = min(r[0] for r in results)
-    n_frames = results[-1][1]
-    assert n_frames > 0, "benchmark stream produced no detections"
+    n_frames = results[0][1]
+    # Every injected frame must come out as a valid detection.  The first
+    # trial after reset() sees exactly n_timed blocks; frames whose ownership
+    # window lags past the final step (the trailing history_len samples) are
+    # reported one step later, so allow that tail only.
+    expect = FRAMES_PER_BLOCK * n_timed
+    tail = -(-history_len(spec) * FRAMES_PER_BLOCK // sc.block_size) + 1
+    assert expect - tail <= n_frames <= expect, (n_frames, expect)
 
     sps = n_timed * sc.block_size / dt
     print(

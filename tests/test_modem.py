@@ -195,3 +195,76 @@ def test_loopback_with_rolloff():
     i = int(np.argmax(v))
     f = jax.tree.map(lambda x: np.asarray(x)[i], res.frames)
     assert f.crc_ok and bytes(f.payload[: len(PAYLOAD)]) == PAYLOAD
+
+
+def test_loopback_soft_config3():
+    """BASELINE config 3: 16-QAM over multipath, pilot-based LS equalization,
+    SOFT demap -- the RX emits per-bit max-log LLRs whose signs reproduce the
+    transmitted wire bits."""
+    cfg = OfdmConfig(modulation="qam16", max_payload_bytes=64)
+    spec = cfg.spec
+    txr = _tx(cfg)
+    stream = jnp.concatenate(
+        [jnp.zeros(256, jnp.complex64), txr.samples, jnp.zeros(256, jnp.complex64)]
+    )
+    taps = jnp.asarray([1.0, 0.0, 0.35 + 0.2j, 0.0, 0.1j], jnp.complex64)
+    rx = channel_model(jax.random.PRNGKey(5), stream, snr_db=30, taps=taps,
+                       fft_len=cfg.fft_len)
+    res = jax.jit(
+        lambda s: rx_block(spec, s, max_frames=4, output="soft")
+    )(rx)
+    v = np.asarray(res.valid)
+    assert v.sum() >= 1
+    i = int(np.argmax(v))
+    f = jax.tree.map(lambda x: np.asarray(x)[i], res.frames)
+    assert f.crc_ok
+    assert bytes(f.payload[: len(PAYLOAD)]) == PAYLOAD
+    # LLR signs == hard wire bits (positive LLR => bit 0)
+    wire_len = int(f.payload_len) + 4
+    wire_bits = np.unpackbits(f.payload[:wire_len])
+    llr = f.llr[: wire_len * 8]
+    assert np.array_equal((llr < 0).astype(np.uint8), wire_bits)
+    # LLRs are zeroed (masked) beyond the wire length
+    assert np.all(f.llr[wire_len * 8:] == 0.0)
+
+
+def test_soft_demap_beats_hard_at_low_snr():
+    """Rate-1/3 repetition decode: summing LLRs (soft combining) must beat
+    majority vote over hard bits -- the property that justifies the soft
+    output surface (VERDICT r1 item 4)."""
+    cfg = OfdmConfig(modulation="qam16", max_payload_bytes=64)
+    spec = cfg.spec
+    rng = np.random.RandomState(42)
+    n_payload = 60                       # bytes; 480 bits = 160 info bits x 3
+    n_info = n_payload * 8 // 3
+    info = rng.randint(0, 2, n_info).astype(np.uint8)
+    coded = np.repeat(info, 3)           # b0 b0 b0 b1 b1 b1 ...
+    payload = np.packbits(coded).tobytes()
+
+    txr = _tx(cfg, payload=payload)
+    stream = jnp.concatenate(
+        [jnp.zeros(256, jnp.complex64), txr.samples, jnp.zeros(256, jnp.complex64)]
+    )
+    hard_err = soft_err = 0
+    n_ok = 0
+    for seed in range(10):
+        rx = channel_model(jax.random.PRNGKey(seed), stream, snr_db=8,
+                           fft_len=cfg.fft_len)
+        res = jax.jit(
+            lambda s: rx_block(spec, s, max_frames=4, output="soft")
+        )(rx)
+        v = np.asarray(res.valid)
+        if v.sum() < 1:
+            continue  # detection failed at this noise draw; skip trial
+        n_ok += 1
+        i = int(np.argmax(v))
+        f = jax.tree.map(lambda x: np.asarray(x)[i], res.frames)
+        bits = np.unpackbits(f.payload[:n_payload])[: n_info * 3].reshape(-1, 3)
+        llr = f.llr[: n_info * 3].reshape(-1, 3)
+        hard_dec = (bits.sum(1) >= 2).astype(np.uint8)     # majority vote
+        soft_dec = (llr.sum(1) < 0).astype(np.uint8)       # LLR combining
+        hard_err += int((hard_dec != info).sum())
+        soft_err += int((soft_dec != info).sum())
+    assert n_ok >= 5, f"only {n_ok} trials detected a frame"
+    assert hard_err > 0, "SNR too high to exercise the comparison"
+    assert soft_err < hard_err, (hard_err, soft_err)

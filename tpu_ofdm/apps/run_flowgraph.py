@@ -46,10 +46,14 @@ def main(argv=None):
 
     ex = StreamExecutor(block, args.block_size)
     src = make_source(args, args.block_size)
+    # a multi-input graph (e.g. examples/channelizer_waterfall.json) gets
+    # the SAME source stream on every declared input, matching the GRC idiom
+    # of fanning one source out to parallel chains
+    n_in = len(spec.get("inputs", [])) or 1
     last = None
     steps = 0
     for x in src:
-        last = ex.push(x)
+        last = ex.push(x if n_in == 1 else (x,) * n_in)
         steps += 1
         if steps >= args.steps:
             break

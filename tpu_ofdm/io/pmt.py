@@ -14,6 +14,12 @@ type -- so this module is just the wire format: `dumps(value) -> bytes` /
 lists/tuples, string-keyed dicts, and uniform numpy vectors (any real or
 complex dtype, any shape).  Format: 1 type byte + big-endian payload;
 self-delimiting, so values nest and stream.
+
+NOT wire-compatible with the reference: this is a bespoke encoding (its own
+type bytes), not the pmt::serialize PST tag layout, so UdpPduLink endpoints
+cannot interoperate with reference socket_pdu endpoints -- both ends of a
+link must run this framework.  (Deliberate: the PST layout is unverifiable
+here, SURVEY.md §0, and cross-stack links are a non-goal.)
 """
 
 from __future__ import annotations

@@ -1,0 +1,273 @@
+"""Fused Schmidl-Cox frame-detection kernel (Pallas, TPU).
+
+ONE pass over the sample stream computes everything frame detection needs,
+at 8 bytes/sample of HBM traffic (the two f32 input planes) plus ~0.2
+bytes/sample of per-row summaries -- where the r1 pipeline (sc_metric kernel
++ XLA smoothing/NMS/top-k passes) moved ~32 bytes/sample over 4+ passes.
+This is the TPU replacement for the hot half of the reference's
+ofdm_sync_sc_cfb + plateau_detector_fb stack (SURVEY.md §2b/§3.3,
+gr-digital/lib/ofdm_sync_sc_cfb_impl.cc, unverified path); the cheap
+selection over the 128x-smaller row arrays lives in ops.sync.
+
+Per (rpt, 128)-row tile, marching sequentially down the time axis:
+  * the input is read ONCE; the L-lagged view x[v-L] is reconstructed from a
+    small VMEM ring of the previous tile's rows (no second HBM read),
+  * prod = conj(x[v-L]) x[v], e2 = |x[v]|^2, e1 = |x[v-L]|^2,
+  * running prefix sums of the four streams via one MXU matmul against a
+    triangular ones matrix + per-stream carry (the kernels/scan.py trick),
+  * length-L trailing sums as cs[t] - cs[t-L] with the lag again served from
+    a VMEM ring -> P(t), R2(t), R1(t),
+  * two-sided metric M = |P|^2 / (R1 R2) (ops.sync._metric2 semantics),
+  * prefix sum of M + a W = cp+1 lag ring -> CP-boxcar smoothed sm(t),
+    plus the deterministic tie-break ramp,
+  * per-row (128-sample) reductions: max of sm, its global position, P and
+    R2 at position t* - (cp - cp//2) (the plateau center, where the fine
+    CFO is read), and the row max of R2 for the energy gate.
+
+Indexing: everything is trailing-window at stream position t (= v); the
+valid-mode arrays of the jnp fallback sit at t = d + 2L - 1.  ops.sync's
+_select_from_rows consumes both paths identically.
+
+All lookback rings are kept 2-D: Mosaic SIGABRTs lowering read-modify-write
+of 3-D VMEM scratch (measured 2026-08-18, kernels/sc_metric.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+_ROWS_PER_TILE = 256
+
+
+def _lagged(cur, prev, q: int, s: int):
+    """z[t] = stream[t - (q*LANE + s)] for a rowized stream.
+
+    cur: (..., R, LANE) current tile rows; prev: (..., q+1, LANE) the last
+    q+1 rows preceding the tile.  Two concatenations + a lane-index select
+    (the lane rotation by s), no gathers."""
+    r = cur.shape[-2]
+
+    def down(j):
+        if j == 0:
+            return cur
+        return jnp.concatenate(
+            [prev[..., q + 1 - j :, :], cur[..., : r - j, :]], axis=-2
+        )
+
+    if s == 0:
+        return down(q)
+
+    def rot(x):
+        return jnp.concatenate(
+            [x[..., LANE - s :], x[..., : LANE - s]], axis=-1
+        )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 1)
+    return jnp.where(lane >= s, rot(down(q)), rot(down(q + 1)))
+
+
+def _prefix(streams, carry):
+    """Within-tile prefix sums of (k, R, LANE) streams + running carry (k,).
+    One MXU matmul against a triangular ones matrix for the lane prefix and
+    a tiny second one for the row offsets."""
+    k, r, _ = streams.shape
+    jj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    tri = (jj <= ll).astype(jnp.float32)
+    y = jax.lax.dot_general(
+        streams.reshape(k * r, LANE), tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).reshape(k, r, LANE)
+    rowtot = y[:, :, LANE - 1]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
+    strict = (rr < cc).astype(jnp.float32)
+    off = jax.lax.dot_general(
+        rowtot, strict,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return y + off[:, :, None] + carry[:, :, None]
+
+
+def _kernel(L: int, W: int, c: int, rpt: int,
+            xre, xim,
+            rows_o,
+            carry, carry_m, in_ring, cs_ring, cm_ring, pr_ring):
+    """carry: (4, 1) stream totals; carry_m: (1, 1) M total -- SEPARATE
+    buffers because broadcasting a slice at a non-zero sublane offset
+    (carry[4:5]) fails Mosaic layout inference (2026-08-19); rings hold the
+    last
+    q+1 rows of [input re/im], [4 prefix streams], [M prefix], and
+    [P_re, P_im, R2] respectively, each flattened to 2-D."""
+    it = pl.program_id(1)
+    qL, sL = L // LANE, L % LANE
+    qW, sW = W // LANE, W % LANE
+    qc, sc = c // LANE, c % LANE
+
+    @pl.when(it == 0)
+    def _():
+        carry[...] = jnp.zeros(carry.shape, carry.dtype)
+        carry_m[...] = jnp.zeros(carry_m.shape, carry_m.dtype)
+        in_ring[...] = jnp.zeros(in_ring.shape, in_ring.dtype)
+        cs_ring[...] = jnp.zeros(cs_ring.shape, cs_ring.dtype)
+        cm_ring[...] = jnp.zeros(cm_ring.shape, cm_ring.dtype)
+        pr_ring[...] = jnp.zeros(pr_ring.shape, pr_ring.dtype)
+
+    a_re, a_im = xre[0], xim[0]                      # (R, 128)
+    r = a_re.shape[0]
+
+    prev_in = in_ring[...].reshape(2, qL + 1, LANE)
+    l_re = _lagged(a_re, prev_in[0], qL, sL)         # x[v-L]
+    l_im = _lagged(a_im, prev_in[1], qL, sL)
+
+    streams = jnp.stack(
+        [
+            l_re * a_re + l_im * a_im,               # Re conj(x[v-L]) x[v]
+            l_re * a_im - l_im * a_re,               # Im
+            a_re * a_re + a_im * a_im,               # e2
+            l_re * l_re + l_im * l_im,               # e1
+        ]
+    )                                                 # (4, R, 128)
+    cs = _prefix(streams, carry[...])
+    csl = _lagged(cs, cs_ring[...].reshape(4, qL + 1, LANE), qL, sL)
+    S = cs - csl                                      # trailing L-sums at t
+    p_re, p_im, r2, r1 = S[0], S[1], S[2], S[3]
+
+    # two-sided normalized metric (ops.sync._metric2 semantics)
+    p2 = p_re * p_re + p_im * p_im
+    den = r1 * r2
+    M = jnp.where(
+        den > 0.0, jnp.minimum(p2 / jnp.maximum(den, 1e-12), 2.0), 0.0
+    )
+
+    cm = _prefix(M[None], carry_m[...])               # (1, R, 128)
+    cml = _lagged(cm, cm_ring[...].reshape(1, qW + 1, LANE), qW, sW)
+    sm = (cm - cml)[0] * (1.0 / W)
+
+    # deterministic tie-break ramp on the global position (ops.sync._tiebreak)
+    rowbase = (it * rpt + jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 0))
+    t_glob = rowbase * LANE + jax.lax.broadcasted_iota(
+        jnp.int32, (r, LANE), 1
+    )
+    sm = sm + (t_glob & 0xFFFF).astype(jnp.float32) * 1e-7
+
+    # P / R2 at the plateau center t - c
+    PR = jnp.stack([p_re, p_im, r2])
+    PRc = _lagged(PR, pr_ring[...].reshape(3, qc + 1, LANE), qc, sc)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 1)
+    rowmax = jnp.max(sm, axis=-1)
+    argl = jnp.min(
+        jnp.where(sm == rowmax[:, None], lane, LANE), axis=-1
+    )                                                  # first max, as argmax
+    onehot = lane == argl[:, None]
+    pick = lambda A: jnp.sum(jnp.where(onehot, A, 0.0), axis=-1)
+
+    # ONE packed (6, rpt) f32 output block, not six (1, rpt) arrays: a
+    # (1, rows) 2-D pallas output read directly by downstream jitted code
+    # came back with a mismatched layout on this backend (values correct
+    # after a host round-trip, garbage when consumed on device; 2026-08-19).
+    # smarg rides as f32 -- exact for positions < 2^24, asserted by the
+    # wrapper (streaming blocks are <= 2^23 samples).
+    rowidx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)[:, 0]
+    smarg = ((it * rpt + rowidx) * LANE + argl).astype(jnp.float32)
+    rows_o[0] = jnp.stack(
+        [
+            rowmax,
+            smarg,
+            pick(PRc[0]),
+            pick(PRc[1]),
+            pick(PRc[2]),
+            jnp.max(r2, axis=-1),
+        ]
+    )
+
+    # 2-D slice stores: a 1-D concatenate here SIGABRTs Mosaic
+    # ("offsets_[0] < tiling_[0]", bisected 2026-08-19)
+    carry[...] = cs[:, r - 1, LANE - 1 : LANE]
+    carry_m[...] = cm[:, r - 1, LANE - 1 : LANE]
+    in_ring[...] = jnp.stack([a_re, a_im])[:, r - (qL + 1) :, :].reshape(
+        2 * (qL + 1), LANE
+    )
+    cs_ring[...] = cs[:, r - (qL + 1) :, :].reshape(4 * (qL + 1), LANE)
+    cm_ring[...] = cm[:, r - (qW + 1) :, :].reshape(qW + 1, LANE)
+    pr_ring[...] = PR[:, r - (qc + 1) :, :].reshape(3 * (qc + 1), LANE)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "W", "c", "rpt"))
+def _sc_detect_pallas(re, im, L: int, W: int, c: int, rpt: int):
+    """re/im: (B, rows, 128) f32 with rows % rpt == 0."""
+    b, rows, _ = re.shape
+    assert rows % rpt == 0, (rows, rpt)
+    qL, qW, qc = L // LANE, W // LANE, c // LANE
+    assert rpt % LANE == 0, rpt
+    in_spec = pl.BlockSpec(
+        (1, rpt, LANE), lambda ib, it: (ib, it, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, 6, rpt), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, L, W, c, rpt),
+        grid=(b, rows // rpt),
+        in_specs=[in_spec, in_spec],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, 6, rows), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((4, 1), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+            pltpu.VMEM((2 * (qL + 1), LANE), jnp.float32),
+            pltpu.VMEM((4 * (qL + 1), LANE), jnp.float32),
+            pltpu.VMEM((qW + 1, LANE), jnp.float32),
+            pltpu.VMEM((3 * (qc + 1), LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(re, im)
+
+
+def sc_detect_rows(r: jnp.ndarray, L: int, cp: int):
+    """Row summaries (smmax, smarg, pre, pim, r_at, rmax) for a complex64
+    sample block r (..., n), each (..., ceil(n/128)); fed to
+    ops.sync._select_from_rows.  Trailing-window indexing (see module doc);
+    candidates in the zero-padded tail rows carry sm ~= tie-break only and
+    are masked by the selection's ps-range check."""
+    W = cp + 1
+    c = cp - cp // 2
+    lead = r.shape[:-1]
+    n = r.shape[-1]
+    b = 1
+    for d in lead:
+        b *= d
+    rb = r.reshape(b, n)
+    re = jnp.real(rb).astype(jnp.float32)
+    im = jnp.imag(rb).astype(jnp.float32)
+
+    assert n < (1 << 24), "positions must stay exact in f32 (see _kernel)"
+    rows = -(-n // LANE)
+    rpt = min(_ROWS_PER_TILE, max(LANE, -(-rows // LANE) * LANE))
+    rows_p = -(-rows // rpt) * rpt
+    pad = rows_p * LANE - n
+    re = jnp.pad(re, ((0, 0), (0, pad))).reshape(b, rows_p, LANE)
+    im = jnp.pad(im, ((0, 0), (0, pad))).reshape(b, rows_p, LANE)
+    (packed,) = _sc_detect_pallas(re, im, L, W, c, rpt)
+    out = lambda i: packed[:, i, :rows].reshape(*lead, rows)
+    return (
+        out(0),
+        out(1).astype(jnp.int32),
+        out(2),
+        out(3),
+        out(4),
+        out(5),
+    )

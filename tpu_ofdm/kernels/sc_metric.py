@@ -129,13 +129,15 @@ def _kernel(L: int, r0re, r0im, rLre, rLim, pre_o, pim_o, e_o, m_o,
     prev_ref[...] = cs[:, r - (q + 1):, :].reshape(3 * (q + 1), LANE)
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
-def _sc_pallas(r0re, r0im, rLre, rLim, L: int):
-    """Inputs: (B, n) f32 with n % (ROWS*128) == 0.  Returns P_re, P_im,
-    R, M each (B, n) f32 in trailing-window indexing."""
+@functools.partial(jax.jit, static_argnames=("L", "rpt"))
+def _sc_pallas(r0re, r0im, rLre, rLim, L: int, rpt: int):
+    """Inputs: (B, n) f32 with n % (rpt*128) == 0.  Returns P_re, P_im,
+    R, M each (B, n) f32 in trailing-window indexing.  rpt is the caller's
+    tile row count -- deriving it here from a differently-rounded formula
+    silently skipped trailing rows when rows % rpt != 0 (ADVICE r1 #3)."""
     b, n = r0re.shape
     rows = n // LANE
-    rpt = min(_ROWS_PER_TILE, rows)
+    assert rows % rpt == 0, (rows, rpt)
     q = L // LANE
     view = lambda x: x.reshape(b, rows, LANE)
     spec = pl.BlockSpec(
@@ -177,7 +179,7 @@ def sc_sliding_metric(r: jnp.ndarray, L: int):
     mp = -(-m // tile) * tile
     pad = lambda x: jnp.pad(x, ((0, 0), (0, mp - m)))
     p_re, p_im, en, met = _sc_pallas(
-        pad(re[:, :m]), pad(im[:, :m]), pad(re[:, L:]), pad(im[:, L:]), L
+        pad(re[:, :m]), pad(im[:, :m]), pad(re[:, L:]), pad(im[:, L:]), L, rpt
     )
     lo, hi = L - 1, m          # valid range in trailing-window indexing
     out = lambda x: x[:, lo:hi].reshape(*lead, m - L + 1)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from tpu_ofdm.config import HEADER_BITS, OfdmSpec
 from tpu_ofdm.ops import carrier_alloc
 from tpu_ofdm.ops.chanest import coarse_int_cfo, ls_estimate, roll_bins
-from tpu_ofdm.ops.constellation import demap_hard, evm as evm_op
+from tpu_ofdm.ops.constellation import demap_hard, demap_soft, evm as evm_op
 from tpu_ofdm.ops.crc import check_crc32
 from tpu_ofdm.ops.equalizer import equalize_pilot_phase, equalize_simpledfe
 from tpu_ofdm.ops.header import parse_header_bits
@@ -49,12 +49,18 @@ class FrameResult(NamedTuple):
     sym_mask: jnp.ndarray    # (sym_capacity,) bool: valid payload symbols
     sync_q: jnp.ndarray      # () float32: sync1 spectral-support quality
     sync_ok: jnp.ndarray     # () bool: sync_q above acquisition threshold
+    llr: jnp.ndarray         # (sym_capacity*bps,) f32 max-log LLRs of the
+    #   payload bits (positive => bit 0; zeroed outside wire_bits), scaled by
+    #   the per-frame post-equalization noise estimate (EVM^2).  Shape (0,)
+    #   when the RX runs with output="hard" (the default) -- the soft path is
+    #   BASELINE config 3's "pilot-based LS equalization + soft demap".
 
 
 def demod_frame(
     spec: OfdmSpec,
     frame: jnp.ndarray,          # (max_frame_len,) starting at detected start
     equalizer: str = "pilot_phase",
+    output: str = "hard",        # "hard" | "soft": also emit payload LLRs
 ) -> FrameResult:
     """Demodulate one start-aligned frame window (already CFO-derotated).
 
@@ -113,6 +119,16 @@ def demod_frame(
     crc_ok = check_crc32(wire, wire_len) & hdr_ok & sync_ok
     e = evm_op(syms, spec.modulation, mask=sym_mask)
 
+    if output == "soft":
+        # Max-log LLRs scaled by the post-equalization noise estimate: EVM^2
+        # is the mean squared symbol error vs hard decisions over the valid
+        # payload -- the per-frame sigma^2 the LLR denominator needs.
+        noise_var = jnp.maximum(e.astype(jnp.float32) ** 2, 1e-6)
+        llr = demap_soft(syms, spec.modulation, noise_var)
+        llr = jnp.where(jnp.arange(llr.shape[0]) < wire_bits, llr, 0.0)
+    else:
+        llr = jnp.zeros((0,), jnp.float32)
+
     return FrameResult(
         payload=wire,
         payload_len=jnp.maximum(wire_len - 4, 0),
@@ -125,6 +141,7 @@ def demod_frame(
         sym_mask=sym_mask,
         sync_q=sync_q.astype(jnp.float32),
         sync_ok=sync_ok,
+        llr=llr,
     )
 
 
@@ -142,6 +159,7 @@ def rx_block(
     own_lo: int = 0,
     own_hi: int | None = None,
     equalizer: str = "pilot_phase",
+    output: str = "hard",
 ) -> RxBlockResult:
     """Detect + demodulate up to `max_frames` frames in a sample buffer.
 
@@ -162,7 +180,7 @@ def rx_block(
     def one(start, cfo):
         win = jax.lax.dynamic_slice(samples, (start,), (spec.max_frame_len,))
         win = derotate(win, cfo, spec.fft_len)
-        return demod_frame(spec, win, equalizer=equalizer)
+        return demod_frame(spec, win, equalizer=equalizer, output=output)
 
     frames = jax.vmap(one)(gstart, det.fine_cfo)
     # a slot is valid only if owned AND acquisition confirmed AND header ok

@@ -47,6 +47,7 @@ def rx_stream_block(
     spec: OfdmSpec,
     stream_cfg: StreamConfig,
     equalizer: str = "pilot_phase",
+    output: str = "hard",
 ) -> Block:
     H = history_len(spec)
     S = stream_cfg.block_size
@@ -70,7 +71,8 @@ def rx_stream_block(
         # ownership: starts within [0, S) of ext coords = absolute
         # [step*S - H, step*S - H + S) -- tiles the stream exactly
         res = rx_block(
-            spec, ext, max_frames=K, own_lo=0, own_hi=S, equalizer=equalizer
+            spec, ext, max_frames=K, own_lo=0, own_hi=S,
+            equalizer=equalizer, output=output,
         )
         new_hist = ext[S:]
         out = RxStreamOut(res, step)
@@ -114,4 +116,6 @@ def collect_frames(outs, block_size: int | None = None, hist: int | None = None)
                     "abs_start": abs_start,
                 }
             )
+            if f.llr.shape[-1]:  # soft-output RX: wire-byte LLRs incl CRC32
+                frames[-1]["llr"] = np.asarray(f.llr)[i][: (plen + 4) * 8]
     return frames

@@ -104,6 +104,47 @@ class SyncMetric(NamedTuple):
     energy: jnp.ndarray   # R(d), float32, same length
 
 
+def _sc_raw(spec: OfdmSpec, r: jnp.ndarray):
+    """Ungated valid-mode P_re, P_im, R, M float32 arrays (length n - 2L + 1),
+    shared by the SyncMetric API and the jnp detect fallback."""
+    L = spec.fft_len // 2
+    prod = jnp.conj(r[..., :-L]) * r[..., L:]
+    energy = jnp.abs(r[..., L:]) ** 2
+    # one fused sliding-sum pass for all three real streams
+    p_re, p_im, R = scan.moving_sums(
+        [jnp.real(prod), jnp.imag(prod), energy], L
+    )
+    # capped + zeroed-at-silence ratio: genuine M <= ~1, and in exact-silence
+    # stretches R is exactly 0 while |P|^2 can hold cancellation residue from
+    # the cumsum difference -- the raw ratio then reaches ~1e13 and poisons
+    # every later sliding sum of M through f32 cumsum resolution
+    M = jnp.where(
+        R > 0.0,
+        jnp.minimum((p_re**2 + p_im**2) / jnp.maximum(R, 1e-12) ** 2, 2.0),
+        0.0,
+    )
+    return p_re, p_im, R, M
+
+
+def _metric2(p2: jnp.ndarray, r1: jnp.ndarray, r2: jnp.ndarray) -> jnp.ndarray:
+    """Two-sided normalized timing metric M = |P|^2 / (R1 * R2).
+
+    Cauchy-Schwarz bounds it by 1 STRUCTURALLY: |P|^2 <= R1*R2 for any input,
+    so signal-edge windows where the classic one-sided |P|^2/R2^2 explodes
+    (tiny second-half energy against cross-boundary correlation; measured
+    2026-08-19 producing spurious sm maxima that captured a row's candidate
+    away from a genuine peak 100 samples away) stay at noise level ~1/L.
+    At a true Schmidl-Cox plateau R1 == R2 and the value matches the
+    one-sided metric, so thresholds carry over.  The golden oracle and the
+    SyncMetric API keep the one-sided form (golden_ofdm.schmidl_cox_metric);
+    only frame detection uses this."""
+    return jnp.where(
+        r1 * r2 > 0.0,
+        jnp.minimum(p2 / jnp.maximum(r1 * r2, 1e-12), 2.0),
+        0.0,
+    )
+
+
 def schmidl_cox(spec: OfdmSpec, r: jnp.ndarray) -> SyncMetric:
     """Compute the Schmidl-Cox metric over a sample block (last axis)."""
     L = spec.fft_len // 2
@@ -114,16 +155,8 @@ def schmidl_cox(spec: OfdmSpec, r: jnp.ndarray) -> SyncMetric:
 
         P, R, M = sc_sliding_metric(r.astype(jnp.complex64), L)
     else:
-        prod = jnp.conj(r[..., :-L]) * r[..., L:]
-        energy = jnp.abs(r[..., L:]) ** 2
-        # one fused sliding-sum pass for all three real streams
-        p_re, p_im, R = scan.moving_sums(
-            [jnp.real(prod), jnp.imag(prod), energy], L
-        )
+        p_re, p_im, R, M = _sc_raw(spec, r)
         P = (p_re + 1j * p_im).astype(jnp.complex64)
-        M = None
-    if M is None:
-        M = jnp.abs(P) ** 2 / jnp.maximum(R, 1e-12) ** 2
     # Suppress low-energy regions where the ratio is unreliable.  The energy
     # scale is LOCAL (sliding max over ~2 symbols) rather than the block
     # max: a block-global gate would silently drop a weak frame whenever a
@@ -142,6 +175,137 @@ class Detections(NamedTuple):
     peak: jnp.ndarray      # (K,) float32: smoothed metric at the peak
 
 
+ROW = 128  # candidate granularity: one detection slot per ROW samples
+
+# Minimum supported inter-frame spacing: two genuine sync peaks are both
+# reported iff their row indices differ by more than the NMS radius kn =
+# max(1, ceil(sym_len/2 / ROW)); peaks (kn + 1) rows apart are ALWAYS
+# separable, i.e. frame starts >= min_frame_gap() samples apart.  Frames
+# closer than ROW samples always merge (one candidate per row).  Since a
+# frame is at least 4 OFDM symbols (2 sync + header + 1 payload) long,
+# back-to-back frames at zero gap satisfy this for every fft_len
+# (4*sym_len >= 2*ROW requires sym_len >= 64 -- true for fft_len >= 64).
+
+
+def min_frame_gap(spec: OfdmSpec) -> int:
+    """Smallest start-to-start spacing at which two frames are guaranteed
+    to be separately detected (see note above; asserted by tests)."""
+    kn = max(1, -(-(spec.sym_len // 2) // ROW))
+    return (kn + 1) * ROW
+
+
+def _select_from_rows(
+    spec: OfdmSpec,
+    smmax, smarg, pre, pim, r_at, rmax,
+    n_sm: int,
+    max_frames: int,
+    threshold: float,
+) -> Detections:
+    """Shared candidate selection over per-row summaries (one candidate per
+    ROW samples): NMS + threshold + energy gate + top-k, all on arrays that
+    are n/ROW long -- the jnp fallback and the fused Pallas kernel feed the
+    identical selection so both backends detect the same frames.
+
+    Row summaries (trailing t-indexed, t = position of the last sample of
+    the combined 2L+W window):
+      smmax[r]  max of smoothed metric over row r (tie-break ramp included)
+      smarg[r]  global t of that max (int32)
+      pre/pim[r]  P (autocorrelation) at t* - (cp - cp//2) = plateau center
+      r_at[r]   R (energy) at the same lagged position
+      rmax[r]   max of R over row r (for the local energy gate)
+    """
+    cp = spec.cp_len
+    # local energy scale (sliding max over ~2 symbols of row maxima): the
+    # gate is LOCAL, not block-global, for the reasons in schmidl_cox.
+    # STRICT >: a candidate with exactly-zero energy (digital silence, where
+    # the capped metric can still hold cancellation residue, see _metric)
+    # never passes, whatever the neighborhood looks like.
+    kg = max(1, -(-spec.sym_len // ROW))
+    local = sliding_max_same(rmax, 2 * kg + 1, pad_left=kg)
+    gate = r_at > 0.05 * local
+    # windowed non-max suppression at row granularity; gated-out rows are
+    # excluded BEFORE the max so a residue row cannot suppress a real peak
+    kn = max(1, -(-(spec.sym_len // 2) // ROW))
+    smg = jnp.where(gate, smmax, -jnp.inf)
+    win = sliding_max_same(smg, 2 * kn + 1, pad_left=kn)
+    t0 = spec.sym_len - 1          # trailing t of sm index 0 (= 2L + W - 2)
+    ps = smarg - t0
+    ok = gate & (smmax >= win) & (smmax > threshold)
+    ok &= (ps >= 0) & (ps < n_sm)
+    big = jnp.int32(1 << 30)
+    pos = jnp.where(ok, ps, big)
+    neg, idx = jax.lax.top_k(-pos, max_frames)
+    order = -neg                   # ascending sm positions
+    valid = order < big
+    backoff = min(4, cp // 4)
+    # sm window [ps, ps+cp] has its apex at the plateau center ps + cp/2;
+    # frame start = center + cp - cp//2 - backoff = ps + cp - backoff
+    start = order + cp - backoff
+    fine_cfo = jnp.arctan2(pim[idx], pre[idx]) / jnp.pi
+    return Detections(
+        start.astype(jnp.int32),
+        fine_cfo.astype(jnp.float32),
+        valid,
+        smmax[idx],
+    )
+
+
+def _tiebreak(t: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic tie-break ramp for perfectly flat (noiseless) plateaus:
+    strictly increasing within any window shorter than 2^16 samples, bounded
+    by 6.6e-3 so it cannot promote noise over the detection threshold (the
+    r1 full-length ramp reached 0.4 at 2^22 -- a latent false-peak bias)."""
+    return (t & 0xFFFF).astype(jnp.float32) * 1e-7
+
+
+def _detect_rows_jnp(spec: OfdmSpec, r: jnp.ndarray):
+    """Row summaries from full-length arrays (CPU / small-input path)."""
+    L = spec.fft_len // 2
+    cp = spec.cp_len
+    W = cp + 1
+    c = cp - cp // 2
+    n = r.shape[-1]
+    prod = jnp.conj(r[..., :-L]) * r[..., L:]
+    e2 = jnp.abs(r[..., L:]) ** 2
+    e1 = jnp.abs(r[..., :-L]) ** 2
+    p_re, p_im, R, R1 = scan.moving_sums(
+        [jnp.real(prod), jnp.imag(prod), e2, e1], L
+    )                                          # valid-mode, length n - 2L + 1
+    M = _metric2(p_re**2 + p_im**2, R1, R)
+    sm = moving_sum(M, W) / W                 # length n_sm
+    n_sm = sm.shape[-1]
+    t0 = spec.sym_len - 1
+    rows = -(-n // ROW)
+    npad = rows * ROW
+
+    def at(x, off, fill):
+        # t-indexed full array: out[t] = x[t - off], padded/clipped to npad
+        keep = max(0, min(x.shape[-1], npad - off))
+        return jnp.pad(x[..., :keep], (off, npad - off - keep),
+                       constant_values=fill)
+
+    smf = at(sm, t0, -jnp.inf) + _tiebreak(jnp.arange(npad, dtype=jnp.int32))
+    pref = at(p_re, 2 * L - 1 + c, 0.0)
+    pimf = at(p_im, 2 * L - 1 + c, 0.0)
+    rcf = at(R, 2 * L - 1 + c, 0.0)
+    rf = at(R, 2 * L - 1, 0.0)
+
+    smr = smf.reshape(rows, ROW)
+    arg = jnp.argmax(smr, axis=-1)
+    smarg = (jnp.arange(rows, dtype=jnp.int32) * ROW + arg).astype(jnp.int32)
+    pick = lambda x: jnp.take_along_axis(
+        x.reshape(rows, ROW), arg[:, None], axis=-1
+    )[:, 0]
+    return (
+        smr.max(-1),
+        smarg,
+        pick(pref),
+        pick(pimf),
+        pick(rcf),
+        rf.reshape(rows, ROW).max(-1),
+    )
+
+
 def detect_frames(
     spec: OfdmSpec,
     r: jnp.ndarray,
@@ -153,51 +317,30 @@ def detect_frames(
     Returns detections sorted by position with a validity mask.  `start`
     points a few samples inside the CP before sync word 1's FFT window
     (deliberate ISI backoff, same rule as the golden model's detect_frame).
+
+    Structure: per-row (ROW=128 samples) candidate summaries -- max of the
+    CP-boxcar-smoothed metric, its position, and P/R at the plateau center
+    -- then a shared selection (_select_from_rows) on the ROW-times-smaller
+    arrays.  On TPU with large blocks the summaries come from ONE fused
+    Pallas pass over the samples (kernels/sc_detect.py, 8 bytes/sample of
+    HBM traffic); elsewhere from full-length jnp arrays.  Replaces the
+    reference's ofdm_sync_sc_cfb + plateau_detector stack (SURVEY.md §3.3).
     """
     if threshold is None:
         threshold = spec.cfg.sync_threshold
-    m = schmidl_cox(spec, r)
-    cp = spec.cp_len
-    # Plateau -> peak: boxcar over ~CP span turns the flat plateau into a
-    # triangle whose apex sits at the plateau center.
-    sm = moving_sum(m.metric, cp + 1) / (cp + 1)
-    n = sm.shape[-1]
-    # deterministic tie-break on perfectly flat (noiseless) plateaus
-    sm = sm + jnp.arange(n, dtype=jnp.float32) * 1e-7
-    # windowed non-max suppression: a winner is the max of its sym_len window
-    w = spec.sym_len
-    win_max = coarse_sliding_max_same(sm, w)
-    is_peak = (sm >= win_max) & (sm > threshold)
-    # First K peak positions (ascending).  jnp.sort on 1M elements is a full
-    # bitonic sort and even top_k over the raw array measured 1.4 ms on TPU
-    # v5 lite -- dominating the whole detector.  The NMS window guarantees
-    # peaks are > w/2 apart, so a min-reduce over segments of seg <= w/2
-    # samples keeps at most one peak per segment losslessly, and top_k runs
-    # on the seg-times-smaller array.
-    pos = jnp.where(is_peak, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
-    seg = min(32, max(1, w // 2))
-    n_pad = -(-n // seg) * seg
-    segmin = jnp.min(
-        jnp.pad(pos, (0, n_pad - n), constant_values=n).reshape(-1, seg),
-        axis=-1,
-    )
-    neg, _ = jax.lax.top_k(-segmin, max_frames)
-    pos = -neg  # top_k sorts descending, so -neg is ascending
-    valid = pos < n
-    safe = jnp.minimum(pos, n - 1)
-    # smoothing window [d, d+cp] has apex at d_sm where plateau center is
-    # d_sm + cp/2... the boxcar's *valid* output index d corresponds to the
-    # window starting at d, so plateau center ~ d + cp/2; we need the mid of
-    # the ORIGINAL metric plateau: mid = d_peak + cp/2.
-    mid = safe + cp // 2
-    backoff = min(4, cp // 4)
-    start = mid + cp - cp // 2 - backoff
-    fine_cfo = jnp.angle(m.corr[jnp.minimum(mid, m.corr.shape[-1] - 1)]) / jnp.pi
-    return Detections(
-        start.astype(jnp.int32),
-        fine_cfo.astype(jnp.float32),
-        valid,
-        sm[safe],
+    L = spec.fft_len // 2
+    n = r.shape[-1]
+    n_sm = n - 2 * L - spec.cp_len + 1
+    if scan.use_pallas() and n >= (1 << 15) and L // 128 + 1 < 8:
+        from tpu_ofdm.kernels.sc_detect import sc_detect_rows
+
+        rows6 = sc_detect_rows(
+            r.astype(jnp.complex64), L, spec.cp_len
+        )
+    else:
+        rows6 = _detect_rows_jnp(spec, r)
+    return _select_from_rows(
+        spec, *rows6, n_sm=n_sm, max_frames=max_frames, threshold=threshold
     )
 
 

@@ -43,6 +43,10 @@ class Block:
     apply: Callable[[Any, Any], tuple[Any, Any]]
     name: str = "block"
     latency: int = 0
+    # False for blocks whose input is not a per-sample stream (e.g. the
+    # streaming TX consumes PDU slot batches); the executor then skips its
+    # every-leaf-is-block_size-long shape check.
+    stream_input: bool = True
 
     def __call__(self, state, x):
         return self.apply(state, x)

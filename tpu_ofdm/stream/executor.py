@@ -96,8 +96,9 @@ class StreamExecutor:
         Outputs are encoded on non-cpu backends (see utils.device_io);
         use to_host/collect helpers to read them."""
         # multi-input flowgraphs take a tuple of streams; every array leaf
-        # must carry block_size samples on its last axis
-        assert all(
+        # must carry block_size samples on its last axis (blocks with
+        # non-stream inputs, e.g. the PDU-fed TX, opt out via stream_input)
+        assert not self.block.stream_input or all(
             leaf.shape[-1] == self.block_size
             for leaf in jax.tree.leaves(block_samples)
         )

@@ -168,13 +168,31 @@ class Flowgraph:
         n_inputs = len(self._inputs)
         outputs = list(self._outputs)
         single_out = self._output_single
-        latency = max(nodes[n].block.latency for n in order)
+        # latency composes ADDITIVELY along serial chains: the drain must
+        # flush the longest input->output path, not just the worst node
+        path_lat: dict[str, int] = {}
+        for n in order:
+            path_lat[n] = nodes[n].block.latency + max(
+                (path_lat[s] for (s, _) in nodes[n].in_edges.values()
+                 if s != "__input__"),
+                default=0,
+            )
+        latency = max(path_lat[n] for n, _ in outputs)
 
         def init():
             return tuple(nodes[n].block.init() for n in order)
 
         def apply(states, x):
-            ext_in = (x,) if n_inputs == 1 else tuple(x) if n_inputs else ()
+            if n_inputs <= 1:
+                ext_in = (x,) if n_inputs else ()
+            else:
+                # tuple(array) would silently iterate it element-wise
+                if not isinstance(x, (tuple, list)):
+                    raise FlowgraphError(
+                        f"graph expects a tuple of {n_inputs} inputs, got "
+                        f"{type(x).__name__}"
+                    )
+                ext_in = tuple(x)
             if n_inputs and len(ext_in) != n_inputs:
                 raise FlowgraphError(
                     f"graph expects {n_inputs} inputs, got {len(ext_in)}"
