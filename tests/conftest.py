@@ -19,4 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# The real-TPU lane (pytest -m tpu, see tests/test_tpu.py) keeps the live
+# backend; everything else runs on the virtual CPU mesh.
+if os.environ.get("TPU_OFDM_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")

@@ -61,3 +61,64 @@ def test_mismatched_config_rejected(tmp_path):
 
     with pytest.raises(ValueError, match="block_size"):
         load_state(str(tmp_path / "c"), ex_other)
+
+
+def test_sharded_stream_checkpoint_restart(tmp_path):
+    """Kill/restart a SHARDED capture mid-stream (VERDICT r1 item 9): the
+    multi-device carry round-trips through Orbax, and a frame straddling the
+    checkpoint cut is recovered exactly once by the restarted executor."""
+    import jax
+
+    from tpu_ofdm.shard import (collect_sharded_stream_frames, make_mesh,
+                                sharded_rx_stream_block)
+    from tests.test_shard import _make_frame
+
+    cfg = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk")
+    spec = cfg.spec
+    mesh = make_mesh(n_channel=2, n_time=4)
+    S, C, T = 4096, 2, 4
+    chunk = T * S
+    rng = np.random.RandomState(13)
+    stream = np.zeros((C, 2 * chunk), np.complex64)
+    f0 = _make_frame(spec, b"pre-checkpoint frame", frame_num=0)
+    f1 = _make_frame(spec, b"straddles the restart", frame_num=1)
+    p0, p1 = 4000, chunk - len(f1) // 2
+    stream[0, p0 : p0 + len(f0)] = f0
+    stream[0, p1 : p1 + len(f1)] = f1
+    stream += ((rng.randn(*stream.shape) + 1j * rng.randn(*stream.shape))
+               * 0.01).astype(np.complex64)
+
+    def mk():
+        return StreamExecutor(
+            sharded_rx_stream_block(spec, mesh, C, S, max_frames_per_shard=4),
+            chunk, donate=False,
+        )
+
+    zeros = np.zeros((C, chunk), np.complex64)
+
+    # uninterrupted reference
+    ex_ref = mk()
+    want = [ex_ref.push(stream[:, :chunk]), ex_ref.push(stream[:, chunk:]),
+            ex_ref.push(zeros)]
+
+    # run chunk 0, checkpoint, "crash", restore into a fresh executor
+    ex1 = mk()
+    outs_a = [to_host(ex1.push(stream[:, :chunk]))]
+    save_state(str(tmp_path / "shard_ckpt"), ex1)
+    del ex1
+
+    ex2 = mk()
+    meta = load_state(str(tmp_path / "shard_ckpt"), ex2)
+    assert resume_step(meta) == 1
+    outs_b = [to_host(ex2.push(stream[:, chunk:])), to_host(ex2.push(zeros))]
+
+    key = lambda f: (f["channel"], f["abs_start"], f["payload"], f["crc_ok"],
+                     f["frame_num"])
+    got = collect_sharded_stream_frames(outs_a + outs_b, S, spec, n_time=T)
+    ref = collect_sharded_stream_frames(
+        [jax.tree.map(np.asarray, o) for o in want], S, spec, n_time=T)
+    assert sorted(map(key, got)) == sorted(map(key, ref))
+    ok = [f for f in got if f["crc_ok"]]
+    assert {f["payload"] for f in ok} == {b"pre-checkpoint frame",
+                                          b"straddles the restart"}
+    assert len(ok) == 2

@@ -136,3 +136,46 @@ def test_sharded_matches_single_device():
     key = lambda f: (f["channel"], f["abs_start"], f["payload"], f["crc_ok"])
     assert sorted(map(key, f8)) == sorted(map(key, f1))
     assert len([f for f in f8 if f["crc_ok"]]) == 2
+
+
+def test_sharded_stream_carry_across_chunks():
+    """sharded_rx_stream_block: a frame straddling the boundary between two
+    CHUNKS (not just two shards) is recovered exactly once -- shard 0 of
+    chunk 1 demodulates it from the carried tail of chunk 0."""
+    from tpu_ofdm.modem.rx_stream import history_len
+    from tpu_ofdm.shard import collect_sharded_stream_frames, sharded_rx_stream_block
+    from tpu_ofdm.stream.executor import StreamExecutor
+
+    cfg = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk")
+    spec = cfg.spec
+    mesh = make_mesh(n_channel=2, n_time=4)
+    S, C, T = 4096, 2, 4
+    chunk = T * S
+    rng = np.random.RandomState(11)
+    stream = np.zeros((C, 2 * chunk), np.complex64)
+
+    f0 = _make_frame(spec, b"inside chunk zero", frame_num=1)
+    f1 = _make_frame(spec, b"straddles the chunk boundary", frame_num=2)
+    f2 = _make_frame(spec, b"inside chunk one", frame_num=3)
+    pos = {0: 2500, 1: chunk - len(f1) // 2, 2: chunk + 7000}
+    stream[0, pos[0] : pos[0] + len(f0)] = f0
+    stream[1, pos[1] : pos[1] + len(f1)] = f1
+    stream[1, pos[2] : pos[2] + len(f2)] = f2
+    stream += ((rng.randn(C, 2 * chunk) + 1j * rng.randn(C, 2 * chunk))
+               * 0.01).astype(np.complex64)
+
+    block = sharded_rx_stream_block(spec, mesh, C, S, max_frames_per_shard=4)
+    ex = StreamExecutor(block, chunk, donate=False)
+    outs = [ex.push(stream[:, :chunk]), ex.push(stream[:, chunk:]),
+            ex.push(np.zeros((C, chunk), np.complex64))]  # drain
+    frames = [f for f in collect_sharded_stream_frames(outs, S, spec, n_time=T)
+              if f["crc_ok"]]
+    assert {(f["channel"], f["payload"]) for f in frames} == {
+        (0, b"inside chunk zero"),
+        (1, b"straddles the chunk boundary"),
+        (1, b"inside chunk one"),
+    }
+    assert len(frames) == 3  # exactly once each, no seam duplicates
+    for f, p in zip(sorted(frames, key=lambda d: d["frame_num"]),
+                    [pos[0], pos[1], pos[2]]):
+        assert abs(f["abs_start"] - p) < spec.cp_len

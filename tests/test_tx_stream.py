@@ -80,7 +80,7 @@ def test_tx_stream_back_pressure():
         # accepted must be a prefix (frames are placed in slot order)
         assert acc[:n_ok].all() and not acc[n_ok:n_in].any()
         sent += n_ok
-        pending = pending[n_ok:] + rest if False else (
+        pending = (
             [m for m, a in zip(pending[:8], acc[:n_in]) if not a]
             + pending[8:]
         )
@@ -97,11 +97,11 @@ def test_tx_stream_back_pressure():
     )
     frames = collect_frames(rex.run(stream, drain=True))
     assert len(frames) == len(msgs)
+    assert all(f["crc_ok"] for f in frames)
     got = sorted((f["frame_num"], f["payload"]) for f in frames)
     for i, (fn, payload) in enumerate(got):
         assert fn == i
         assert payload == msgs[i]
-        assert frames[0]["crc_ok"]
 
 
 def test_ofdm_radio_full_duplex():

@@ -46,14 +46,18 @@ def run_send(args) -> int:
     ex = StreamExecutor(tx_stream_block(spec, sc, gap=args.gap), sc.block_size)
     pending = list(msgs)
     sent = 0
+    k = sc.max_frames_per_block
     while pending or int(np.asarray(to_host(ex.state)[1])) > 0:
-        ti, _ = queue_tx_in(spec, sc.max_frames_per_block, pending,
-                            frame_num0=sent)
+        ti, _ = queue_tx_in(spec, k, pending, frame_num0=sent)
         out = to_host(ex.push(ti))
-        acc = np.asarray(out.accepted)[: min(len(pending), 4)]
-        for i in range(int(acc.sum())):
-            print(f"sent frame {sent + i}: {pending[i]!r}", file=sys.stderr)
-        sent += int(acc.sum())
+        acc = np.asarray(out.accepted)[: min(len(pending), k)]
+        n_ok = int(acc.sum())
+        # tx_stream places frames in slot order, so accepted is a prefix
+        assert acc[:n_ok].all(), acc
+        for i, a in enumerate(acc):
+            if a:
+                print(f"sent frame {sent + i}: {pending[i]!r}", file=sys.stderr)
+        sent += n_ok
         pending = [m for m, a in zip(pending, acc) if not a] + pending[len(acc):]
         link.send(np.asarray(out.samples))
     link.close()

@@ -13,10 +13,12 @@ Per (rpt, 128)-row tile, marching sequentially down the time axis:
   * the input is read ONCE; the L-lagged view x[v-L] is reconstructed from a
     small VMEM ring of the previous tile's rows (no second HBM read),
   * prod = conj(x[v-L]) x[v], e2 = |x[v]|^2, e1 = |x[v-L]|^2,
-  * running prefix sums of the four streams via one MXU matmul against a
-    triangular ones matrix + per-stream carry (the kernels/scan.py trick),
-  * length-L trailing sums as cs[t] - cs[t-L] with the lag again served from
-    a VMEM ring -> P(t), R2(t), R1(t),
+  * TILE-LOCAL prefix sums of the four streams via one MXU matmul against a
+    triangular ones matrix (the kernels/scan.py trick),
+  * length-L trailing sums as cs[t] - cs[t-L] with the lag served from a
+    VMEM ring of REBASED previous-tile values (prev local prefix minus the
+    prev tile total, so the cross-tile difference is exact in the same
+    basis) -> P(t), R2(t), R1(t),
   * two-sided metric M = |P|^2 / (R1 R2) (ops.sync._metric2 semantics),
   * prefix sum of M + a W = cp+1 lag ring -> CP-boxcar smoothed sm(t),
     plus the deterministic tie-break ramp,
@@ -24,9 +26,20 @@ Per (rpt, 128)-row tile, marching sequentially down the time axis:
     R2 at position t* - (cp - cp//2) (the plateau center, where the fine
     CFO is read), and the row max of R2 for the energy gate.
 
+Precision: because every prefix sum is rebased per tile, the cancellation
+error of a trailing L-sum is bounded by the TILE length (rpt * 128 = 32k
+samples of O(E) energy -> f32 ulp ~ 2^-8 E, i.e. ~3e-5 relative to an
+L=128 sum), independent of block length -- an unrebased carry would lose
+~0.25 E absolute at 2^22 samples.  Position exactness (< 2^24) is asserted
+separately in sc_detect_rows.
+
 Indexing: everything is trailing-window at stream position t (= v); the
-valid-mode arrays of the jnp fallback sit at t = d + 2L - 1.  ops.sync's
-_select_from_rows consumes both paths identically.
+valid-mode arrays of the jnp fallback sit at t = d + 2L - 1.  Head of
+stream: positions t < 2L + W - 2 (partial windows) are masked to the
+tie-break ramp alone, so a partial-window value can never capture a row's
+candidate (the jnp fallback pads them to -inf; both fail the selection's
+threshold + ps-range checks identically).  ops.sync's _select_from_rows
+consumes both paths identically.
 
 All lookback rings are kept 2-D: Mosaic SIGABRTs lowering read-modify-write
 of 3-D VMEM scratch (measured 2026-08-18, kernels/sc_metric.py).
@@ -72,10 +85,13 @@ def _lagged(cur, prev, q: int, s: int):
     return jnp.where(lane >= s, rot(down(q)), rot(down(q + 1)))
 
 
-def _prefix(streams, carry):
-    """Within-tile prefix sums of (k, R, LANE) streams + running carry (k,).
+def _prefix(streams):
+    """Within-tile (tile-LOCAL) prefix sums of (k, R, LANE) streams.
     One MXU matmul against a triangular ones matrix for the lane prefix and
-    a tiny second one for the row offsets."""
+    a tiny second one for the row offsets.  Cross-tile continuity is NOT a
+    running carry (which would grow with block length and eat f32 mantissa,
+    see module doc): the caller rebases lagged values from the previous tile
+    instead."""
     k, r, _ = streams.shape
     jj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     ll = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
@@ -96,19 +112,19 @@ def _prefix(streams, carry):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    return y + off[:, :, None] + carry[:, :, None]
+    return y + off[:, :, None]
 
 
 def _kernel(L: int, W: int, c: int, rpt: int,
             xre, xim,
             rows_o,
-            carry, carry_m, in_ring, cs_ring, cm_ring, pr_ring):
-    """carry: (4, 1) stream totals; carry_m: (1, 1) M total -- SEPARATE
-    buffers because broadcasting a slice at a non-zero sublane offset
-    (carry[4:5]) fails Mosaic layout inference (2026-08-19); rings hold the
-    last
-    q+1 rows of [input re/im], [4 prefix streams], [M prefix], and
-    [P_re, P_im, R2] respectively, each flattened to 2-D."""
+            in_ring, cs_ring, cm_ring, pr_ring):
+    """Rings hold the last q+1 rows of [input re/im], [4 REBASED prefix
+    streams], [REBASED M prefix], and [P_re, P_im, R2] respectively, each
+    flattened to 2-D (Mosaic SIGABRTs on 3-D VMEM scratch RMW, see module
+    doc).  "Rebased" = previous tile's local prefix minus that tile's total,
+    so S = cs_local[t] - ring[t - L] is the exact global trailing sum in the
+    current tile's basis (module doc, Precision)."""
     it = pl.program_id(1)
     qL, sL = L // LANE, L % LANE
     qW, sW = W // LANE, W % LANE
@@ -116,8 +132,6 @@ def _kernel(L: int, W: int, c: int, rpt: int,
 
     @pl.when(it == 0)
     def _():
-        carry[...] = jnp.zeros(carry.shape, carry.dtype)
-        carry_m[...] = jnp.zeros(carry_m.shape, carry_m.dtype)
         in_ring[...] = jnp.zeros(in_ring.shape, in_ring.dtype)
         cs_ring[...] = jnp.zeros(cs_ring.shape, cs_ring.dtype)
         cm_ring[...] = jnp.zeros(cm_ring.shape, cm_ring.dtype)
@@ -138,7 +152,7 @@ def _kernel(L: int, W: int, c: int, rpt: int,
             l_re * l_re + l_im * l_im,               # e1
         ]
     )                                                 # (4, R, 128)
-    cs = _prefix(streams, carry[...])
+    cs = _prefix(streams)                             # tile-local prefixes
     csl = _lagged(cs, cs_ring[...].reshape(4, qL + 1, LANE), qL, sL)
     S = cs - csl                                      # trailing L-sums at t
     p_re, p_im, r2, r1 = S[0], S[1], S[2], S[3]
@@ -150,20 +164,28 @@ def _kernel(L: int, W: int, c: int, rpt: int,
         den > 0.0, jnp.minimum(p2 / jnp.maximum(den, 1e-12), 2.0), 0.0
     )
 
-    cm = _prefix(M[None], carry_m[...])               # (1, R, 128)
+    cm = _prefix(M[None])                             # (1, R, 128)
     cml = _lagged(cm, cm_ring[...].reshape(1, qW + 1, LANE), qW, sW)
     sm = (cm - cml)[0] * (1.0 / W)
 
-    # deterministic tie-break ramp on the global position (ops.sync._tiebreak)
     rowbase = (it * rpt + jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 0))
     t_glob = rowbase * LANE + jax.lax.broadcasted_iota(
         jnp.int32, (r, LANE), 1
     )
+    # head of stream: t < 2L + W - 2 has only a partial combined window --
+    # mask to the tie-break ramp alone so both backends feed identical rows
+    # to the selection (the jnp fallback pads these positions to -inf)
+    sm = jnp.where(t_glob >= 2 * L + W - 2, sm, 0.0)
+    # deterministic tie-break ramp on the global position (ops.sync._tiebreak)
     sm = sm + (t_glob & 0xFFFF).astype(jnp.float32) * 1e-7
 
-    # P / R2 at the plateau center t - c
+    # P / R2 at the plateau center t - c; head positions (partial trailing
+    # windows) are zeroed to match the jnp fallback's zero-fill, keeping the
+    # energy gate identical across backends
     PR = jnp.stack([p_re, p_im, r2])
     PRc = _lagged(PR, pr_ring[...].reshape(3, qc + 1, LANE), qc, sc)
+    PRc = jnp.where(t_glob[None] >= 2 * L - 1 + c, PRc, 0.0)
+    r2m = jnp.where(t_glob >= 2 * L - 1, r2, 0.0)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 1)
     rowmax = jnp.max(sm, axis=-1)
@@ -188,19 +210,28 @@ def _kernel(L: int, W: int, c: int, rpt: int,
             pick(PRc[0]),
             pick(PRc[1]),
             pick(PRc[2]),
-            jnp.max(r2, axis=-1),
+            jnp.max(r2m, axis=-1),
         ]
     )
 
     # 2-D slice stores: a 1-D concatenate here SIGABRTs Mosaic
-    # ("offsets_[0] < tiling_[0]", bisected 2026-08-19)
-    carry[...] = cs[:, r - 1, LANE - 1 : LANE]
-    carry_m[...] = cm[:, r - 1, LANE - 1 : LANE]
+    # ("offsets_[0] < tiling_[0]", bisected 2026-08-19).  The prefix rings
+    # store REBASED tails (local prefix minus tile total, via a standard
+    # reduce rather than a last-lane slice, which trips Mosaic layout
+    # inference); bit-exactness vs cs[., r-1, LANE-1] is not required --
+    # any O(ulp) total mismatch is a fixed tiny offset on next-tile head
+    # sums, bounded by the same per-tile analysis (module doc).
+    tot4 = jnp.sum(streams.reshape(4, r * LANE), axis=1, keepdims=True)
+    totm = jnp.sum(M.reshape(1, r * LANE), axis=1, keepdims=True)
     in_ring[...] = jnp.stack([a_re, a_im])[:, r - (qL + 1) :, :].reshape(
         2 * (qL + 1), LANE
     )
-    cs_ring[...] = cs[:, r - (qL + 1) :, :].reshape(4 * (qL + 1), LANE)
-    cm_ring[...] = cm[:, r - (qW + 1) :, :].reshape(qW + 1, LANE)
+    cs_ring[...] = (cs[:, r - (qL + 1) :, :] - tot4[:, :, None]).reshape(
+        4 * (qL + 1), LANE
+    )
+    cm_ring[...] = (cm[:, r - (qW + 1) :, :] - totm[:, :, None]).reshape(
+        qW + 1, LANE
+    )
     pr_ring[...] = PR[:, r - (qc + 1) :, :].reshape(3 * (qc + 1), LANE)
 
 
@@ -224,8 +255,6 @@ def _sc_detect_pallas(re, im, L: int, W: int, c: int, rpt: int):
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, 6, rows), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((4, 1), jnp.float32),
-            pltpu.VMEM((1, 1), jnp.float32),
             pltpu.VMEM((2 * (qL + 1), LANE), jnp.float32),
             pltpu.VMEM((4 * (qL + 1), LANE), jnp.float32),
             pltpu.VMEM((qW + 1, LANE), jnp.float32),
@@ -255,6 +284,9 @@ def sc_detect_rows(r: jnp.ndarray, L: int, cp: int):
     im = jnp.imag(rb).astype(jnp.float32)
 
     assert n < (1 << 24), "positions must stay exact in f32 (see _kernel)"
+    # metric precision needs no companion guard: per-tile carry rebasing
+    # bounds L-sum cancellation error by the 32k-sample tile, not n (module
+    # doc, Precision paragraph)
     rows = -(-n // LANE)
     rpt = min(_ROWS_PER_TILE, max(LANE, -(-rows // LANE) * LANE))
     rows_p = -(-rows // rpt) * rpt

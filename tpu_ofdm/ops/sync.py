@@ -254,7 +254,15 @@ def _tiebreak(t: jnp.ndarray) -> jnp.ndarray:
     """Deterministic tie-break ramp for perfectly flat (noiseless) plateaus:
     strictly increasing within any window shorter than 2^16 samples, bounded
     by 6.6e-3 so it cannot promote noise over the detection threshold (the
-    r1 full-length ramp reached 0.4 at 2^22 -- a latent false-peak bias)."""
+    r1 full-length ramp reached 0.4 at 2^22 -- a latent false-peak bias).
+
+    Wrap caveat: the ramp restarts every 2^16 samples, so a PERFECTLY flat
+    noiseless plateau straddling a wrap boundary resolves its argmax to the
+    post-wrap restart rather than the earliest position -- deterministic and
+    bounded to < cp samples of start shift (the plateau length), and any
+    real-world noise (>= 1e-7 metric variation) dominates the ramp.  2^16 is
+    comfortably larger than one smoothing window (cp + 1 <= fft_len), which
+    is all NMS ever compares within."""
     return (t & 0xFFFF).astype(jnp.float32) * 1e-7
 
 

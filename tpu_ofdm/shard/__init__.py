@@ -19,7 +19,9 @@ from tpu_ofdm.shard.mesh import (  # noqa: F401
 )
 from tpu_ofdm.shard.rx import (  # noqa: F401
     collect_sharded_frames,
+    collect_sharded_stream_frames,
     sharded_rx_capture_fn,
+    sharded_rx_stream_block,
 )
 from tpu_ofdm.shard.distributed import (  # noqa: F401
     LinkCounters,
