@@ -42,6 +42,8 @@ def make_wideband_block(spec, n_chan: int, block: int, frame, chans=(3, 17, 40))
     per = block // n_chan
     n = np.arange(block)
     interp = lowpass_taps(n_chan)
+    m = 1 << int(np.ceil(np.log2(block + len(interp))))  # FFT conv: direct
+    ifft_taps = np.fft.fft(interp, m)                    # conv is O(n*taps)
     for c in chans:
         up = np.zeros(per, np.complex64)
         pos = 200
@@ -49,7 +51,8 @@ def make_wideband_block(spec, n_chan: int, block: int, frame, chans=(3, 17, 40))
             up[pos : pos + len(frame)] = frame
         stuffed = np.zeros(block, np.complex64)
         stuffed[::n_chan] = up * n_chan
-        base = np.convolve(stuffed, interp)[: block].astype(np.complex64)
+        base = np.fft.ifft(np.fft.fft(stuffed, m) * ifft_taps)[:block]
+        base = base.astype(np.complex64)
         x += (base * np.exp(2j * np.pi * c * n / n_chan)).astype(np.complex64)
     return x, len(chans)
 
@@ -61,7 +64,7 @@ def main():
                      max_payload_bytes=64)
     spec = cfg.spec
     n_chan = 64
-    sc = StreamConfig(block_size=1 << 21, max_frames_per_block=4)
+    sc = StreamConfig(block_size=1 << 25, max_frames_per_block=4)
     gp = G.GoldenOfdmParams(fft_len=64, cp_len=16, modulation="qpsk")
     frame = G.tx_frame(gp, bytes(range(48))).astype(np.complex64)
 
@@ -75,7 +78,7 @@ def main():
     def reduce_valid(vs):
         return jnp.sum(jnp.stack([v.sum() for v in vs]))
 
-    n_timed = 8
+    n_timed = max(4, (1 << 24) // sc.block_size)
 
     def trial():
         t0 = time.perf_counter()

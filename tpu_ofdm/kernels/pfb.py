@@ -1,0 +1,199 @@
+"""Fused polyphase-filterbank channelizer kernel (Pallas, TPU).
+
+ONE pass over the wideband stream does the whole pfb_channelizer_ccf
+pipeline (SURVEY.md §2b "Polyphase filterbank channelizer",
+gr-filter/lib/pfb_channelizer_ccf_impl.cc + polyphase_filterbank.cc,
+unverified paths): commutator load, J-tap FIR arm MACs, and the cross-arm
+N-point IDFT -- at 16 bytes/sample of HBM traffic (two f32 planes in, two
+out).  The unfused XLA formulation (spectrum.channelizer.channelize_ext)
+re-reads the input through the shifted-MAC ladder and round-trips the arm
+outputs to HBM before the IFFT matmul; measured on the bench chip at 2^25
+samples: 2.3 Gsamp/s unfused vs 7.0 Gsamp/s fused (111 GB/s).
+
+Mapping (n_chan = N <= 128, 128 % N == 0, P = 128/N channel groups/row):
+
+  * the stream rides (rpt, 128) f32 row tiles; flattened position
+    t = m*N + b holds commutator input y[m, b] = x[m*N + b] -- NO lane
+    reversal: the reference's reversed commutator order and the IFFT
+    twiddles are FOLDED into constant matrices (derivation below),
+  * each FIR arm tap j needs y[m-j, b] = xflat[t - j*N]: a lane/sublane
+    lag served from a small VMEM ring of the previous tile's rows
+    (kernels.sc_detect._lagged -- the same no-second-HBM-read trick),
+  * z[m, b] = sum_j q[j, b] y[m-j, b] with q[j, b] = poly[j, N-1-b],
+  * out[m, k] = sum_b z[m, b] G[b, k] with G[b, k] = e^{2pi i (N-1-b)k/N}:
+    in row space that is ONE (rpt,128)@(128,128) MXU matmul against
+    blockdiag(G, ..., G) (P copies) per re/im combination (4 total),
+  * STREAMING HISTORY enters as the ring's INITIAL STATE (a tiny const
+    input) instead of a concatenation -- prepending even 448 samples to a
+    256 MB buffer would copy the whole buffer (measured: the concat+pad
+    wrapper doubled kernel wall time).
+
+Derivation: the reference arm order consumes xa[m, a] = x[m*N + (N-1-a)]
+and emits out[m, k] = sum_a (sum_j poly[j, a] xa[m-j, a]) e^{2pi i a k/N}
+(spectrum.channelizer.channelize_ext semantics, golden-matched);
+substituting b = N-1-a gives the q/G form above -- identical math, zero
+data movement for the reversal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_ofdm.kernels.sc_detect import LANE, _lagged
+
+_ROWS_PER_TILE = 512  # best of {128, 256, 512, 1024} on the bench chip
+
+
+def tail_len(n_chan: int, taps_per_arm: int) -> int:
+    """Streaming-carry length in raw samples: the FIR lookback (J-1)*N
+    rounded up to whole 128-lane rows (the kernel ring granularity)."""
+    return (((taps_per_arm - 1) * n_chan) // LANE + 1) * LANE
+
+
+def supported(n_chan: int) -> bool:
+    return n_chan <= LANE and LANE % n_chan == 0
+
+
+def _mats(taps: np.ndarray, n_chan: int):
+    """(q_lanes (J,128) f32, Gre (128,128) f32, Gim) constants."""
+    from tpu_ofdm.spectrum.channelizer import polyphase_decompose
+
+    N = n_chan
+    P = LANE // N
+    poly = polyphase_decompose(np.asarray(taps, np.float32), N)  # (J, N)
+    q = poly[:, ::-1]                                  # q[j, b] = poly[j,N-1-b]
+    q_lanes = np.tile(q, (1, P)).astype(np.float32)    # lane l -> b = l % N
+    b = np.arange(N)[:, None]
+    k = np.arange(N)[None, :]
+    # channelize_ext's ifft(acc)*N nets to a plain e^{+2pi i a k/N} sum
+    G = np.exp(2j * np.pi * ((N - 1 - b) * k % N) / N)
+    Gfull = np.zeros((LANE, LANE), np.complex128)
+    for p in range(P):
+        Gfull[p * N : (p + 1) * N, p * N : (p + 1) * N] = G
+    return (
+        q_lanes,
+        np.ascontiguousarray(Gfull.real.astype(np.float32)),
+        np.ascontiguousarray(Gfull.imag.astype(np.float32)),
+    )
+
+
+def _kernel(J: int, N: int, rpt: int,
+            qt, gre, gim, hist, xre, xim,
+            ore, oim,
+            in_ring):
+    it = pl.program_id(0)
+    qmax = ((J - 1) * N) // LANE
+
+    @pl.when(it == 0)
+    def _():
+        in_ring[...] = hist[...]        # lookback = end of the previous block
+
+    a_re, a_im = xre[...], xim[...]                    # (rpt, 128)
+    r = a_re.shape[0]
+    prev = in_ring[...].reshape(2, qmax + 1, LANE)
+
+    z_re = qt[0, :][None, :] * a_re
+    z_im = qt[0, :][None, :] * a_im
+    for j in range(1, J):
+        lag = j * N
+        qj, sj = lag // LANE, lag % LANE
+        l_re = _lagged(a_re, prev[0, qmax - qj :, :], qj, sj)
+        l_im = _lagged(a_im, prev[1, qmax - qj :, :], qj, sj)
+        tv = qt[j, :][None, :]
+        z_re = z_re + tv * l_re
+        z_im = z_im + tv * l_im
+
+    mm = lambda a, b: jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    Gr, Gi = gre[...], gim[...]
+    ore[...] = mm(z_re, Gr) - mm(z_im, Gi)
+    oim[...] = mm(z_re, Gi) + mm(z_im, Gr)
+
+    in_ring[...] = jnp.stack([a_re, a_im])[:, r - (qmax + 1) :, :].reshape(
+        2 * (qmax + 1), LANE
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("J", "N", "rpt"))
+def _pfb_pallas(qt, gre, gim, hre, him, re, im, J: int, N: int, rpt: int):
+    rows = re.shape[0]
+    assert rows % rpt == 0, (rows, rpt)
+    qmax = ((J - 1) * N) // LANE
+    hist = jnp.concatenate([hre, him], axis=0)  # (2*(qmax+1), LANE), tiny
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    tile = pl.BlockSpec((rpt, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, J, N, rpt),
+        grid=(rows // rpt,),
+        in_specs=[const(qt.shape), const((LANE, LANE)), const((LANE, LANE)),
+                  const(hist.shape), tile, tile],
+        out_specs=[tile, tile],
+        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((2 * (qmax + 1), LANE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(qt, gre, gim, hist, re, im)
+
+
+def channelize_fused(x: jnp.ndarray, n_chan: int, taps: np.ndarray,
+                     tail: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Fused channelizer over a flat sample buffer x (n,), n % n_chan == 0.
+
+    tail: optional (tail_len(n_chan, J),) complex64 -- the raw samples
+    IMMEDIATELY PRECEDING x (streaming lookback; zeros at stream start).
+    Returns (n // n_chan, n_chan) complex64 channel rows, identical (to f32
+    matmul precision) to spectrum.channelizer.channelize/_ext on the same
+    data.  Zero-copy when n is a multiple of 128*8 (the common streaming
+    case); ragged lengths pay one pad copy.
+    """
+    from tpu_ofdm.spectrum.channelizer import polyphase_decompose
+
+    N = n_chan
+    poly = polyphase_decompose(np.asarray(taps, np.float32), N)
+    J = poly.shape[0]
+    qt, gre, gim = _mats(taps, N)
+    qmax = ((J - 1) * N) // LANE
+    C = (qmax + 1) * LANE
+
+    n = x.shape[-1]
+    assert n % N == 0, (n, N)
+    if tail is None:
+        hre = jnp.zeros((qmax + 1, LANE), jnp.float32)
+        him = hre
+    else:
+        assert tail.shape[-1] == C, (tail.shape, C)
+        hre = jnp.real(tail).astype(jnp.float32).reshape(qmax + 1, LANE)
+        him = jnp.imag(tail).astype(jnp.float32).reshape(qmax + 1, LANE)
+
+    rows = -(-n // LANE)
+    rows8 = -(-rows // 8) * 8
+    if rows8 <= 2 * _ROWS_PER_TILE:
+        rpt, rows_p = rows8, rows8
+    else:
+        rpt = _ROWS_PER_TILE
+        rows_p = -(-rows // rpt) * rpt
+    pad = rows_p * LANE - n
+    re = jnp.real(x).astype(jnp.float32)
+    im = jnp.imag(x).astype(jnp.float32)
+    if pad:
+        re = jnp.pad(re, (0, pad))
+        im = jnp.pad(im, (0, pad))
+    ore, oim = _pfb_pallas(
+        jnp.asarray(qt), jnp.asarray(gre), jnp.asarray(gim), hre, him,
+        re.reshape(rows_p, LANE), im.reshape(rows_p, LANE),
+        J=J, N=N, rpt=rpt,
+    )
+    flat = (ore.reshape(-1)[:n] + 1j * oim.reshape(-1)[:n])
+    return flat.reshape(n // N, N).astype(jnp.complex64)

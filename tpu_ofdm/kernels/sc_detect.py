@@ -241,7 +241,11 @@ def _sc_detect_pallas(re, im, L: int, W: int, c: int, rpt: int):
     b, rows, _ = re.shape
     assert rows % rpt == 0, (rows, rpt)
     qL, qW, qc = L // LANE, W // LANE, c // LANE
-    assert rpt % LANE == 0, rpt
+    # sublane (input) tiling needs 8-alignment; the packed OUTPUT's lane dim
+    # is tiled by rpt, which must be 128-aligned ONLY when a batch row spans
+    # several tiles (a full-dim block may be any 8-multiple)
+    assert rpt % 8 == 0, rpt
+    assert rows == rpt or rpt % LANE == 0, (rows, rpt)
     in_spec = pl.BlockSpec(
         (1, rpt, LANE), lambda ib, it: (ib, it, 0), memory_space=pltpu.VMEM
     )
@@ -288,8 +292,18 @@ def sc_detect_rows(r: jnp.ndarray, L: int, cp: int):
     # bounds L-sum cancellation error by the 32k-sample tile, not n (module
     # doc, Precision paragraph)
     rows = -(-n // LANE)
-    rpt = min(_ROWS_PER_TILE, max(LANE, -(-rows // LANE) * LANE))
-    rows_p = -(-rows // rpt) * rpt
+    # Tile selection: a batch row that fits one tile (<= 2*_ROWS_PER_TILE)
+    # runs grid (b, 1) with rpt = rows rounded to the 8-sublane tile -- ZERO
+    # padded work (the wideband RX feeds 64 channels of ~288 rows each;
+    # padding every channel to 512 rows cost 44% of the kernel, measured
+    # 2026-08-19).  Longer rows tile at _ROWS_PER_TILE, padding <= 255 rows.
+    rows8 = -(-rows // 8) * 8
+    if rows8 <= 2 * _ROWS_PER_TILE:
+        rpt = rows8
+        rows_p = rows8
+    else:
+        rpt = _ROWS_PER_TILE
+        rows_p = -(-rows // rpt) * rpt
     pad = rows_p * LANE - n
     re = jnp.pad(re, ((0, 0), (0, pad))).reshape(b, rows_p, LANE)
     im = jnp.pad(im, ((0, 0), (0, pad))).reshape(b, rows_p, LANE)

@@ -25,10 +25,10 @@ from tpu_ofdm.config import OfdmSpec, StreamConfig
 from tpu_ofdm.modem.rx import RxBlockResult, rx_block
 from tpu_ofdm.modem.rx_stream import history_len
 from tpu_ofdm.spectrum.channelizer import (
-    channelize_ext,
-    commutator_rows,
+    channelize_stream,
     lowpass_taps,
     polyphase_decompose,
+    stream_tail_len,
 )
 from tpu_ofdm.stream.block import Block
 
@@ -51,9 +51,8 @@ def wideband_rx_block(
     n_chan; per-channel blocks are block_size // n_chan samples.
     """
     taps_np = lowpass_taps(n_chan) if taps is None else np.asarray(taps)
-    poly_np = polyphase_decompose(taps_np, n_chan)
-    J = poly_np.shape[0]
-    poly = jnp.asarray(poly_np)
+    poly = jnp.asarray(polyphase_decompose(taps_np, n_chan))
+    C = stream_tail_len(n_chan, taps_np)
 
     H = history_len(spec)
     S = stream_cfg.block_size // n_chan
@@ -63,16 +62,14 @@ def wideband_rx_block(
 
     def init():
         return (
-            np.zeros((J - 1, n_chan), dtype=np.complex64),  # channelizer hist
-            np.zeros((n_chan, H), dtype=np.complex64),      # per-chan history
-            np.zeros((), dtype=np.int32),                   # step
+            np.zeros((C,), dtype=np.complex64),         # channelizer tail
+            np.zeros((n_chan, H), dtype=np.complex64),  # per-chan history
+            np.zeros((), dtype=np.int32),               # step
         )
 
     def apply(state, x):
-        ch_hist, rx_hist, step = state
-        rows = commutator_rows(x.astype(jnp.complex64), n_chan)
-        ext_rows = jnp.concatenate([ch_hist, rows], axis=-2)
-        chans = channelize_ext(ext_rows, poly)              # (S, n_chan)
+        ch_tail, rx_hist, step = state
+        chans, new_tail = channelize_stream(x, ch_tail, n_chan, taps_np, poly)
         chans = jnp.swapaxes(chans, -1, -2)                 # (n_chan, S)
 
         ext = jnp.concatenate([rx_hist, chans], axis=-1)    # (n_chan, H + S)
@@ -84,14 +81,14 @@ def wideband_rx_block(
         )(ext)
 
         new_state = (
-            ext_rows[..., -(J - 1):, :] if J > 1 else ch_hist,
+            new_tail,
             ext[..., S:],
             step + 1,
         )
         return new_state, WidebandRxOut(res, step)
 
     return Block(
-        init, apply, f"wideband_rx({n_chan})", latency=(H + J) * n_chan
+        init, apply, f"wideband_rx({n_chan})", latency=H * n_chan + C
     )
 
 

@@ -13,8 +13,10 @@ TPU-first mapping instead of the reference's per-arm VOLK dot products:
     rides the 128-wide VPU lanes, the time axis the sublanes;
   * the cross-arm IFFT is a batched matmul DFT on the MXU (kernels.fft).
 
-Streaming state = the last J-1 commutator rows (overlap-save, cf.
-set_history), carried by the executor.
+Streaming state = the last tail_len raw samples (overlap-save, cf.
+set_history), carried by the executor; on TPU the whole pipeline runs as
+ONE fused Pallas pass (kernels.pfb, 16 bytes/sample of HBM traffic), with
+this module's XLA formulation as the golden-matched fallback + CI oracle.
 
 Matches tests/golden/golden_ofdm.pfb_channelize bit-for-bit (same arm
 ordering: arm a at output m consumes x[m*N + (N-1-a)]; channel k centered
@@ -84,23 +86,65 @@ def channelize(x: jnp.ndarray, n_chan: int, taps: np.ndarray) -> jnp.ndarray:
     return channelize_ext(jnp.concatenate([pad, rows], axis=-2), poly)
 
 
+def stream_tail_len(n_chan: int, taps: np.ndarray) -> int:
+    """Raw-sample streaming-carry length for channelize_stream (the fused
+    kernel's ring granularity; >= the (J-1)*n_chan FIR lookback)."""
+    from tpu_ofdm.kernels import pfb
+
+    J = polyphase_decompose(np.asarray(taps), n_chan).shape[0]
+    return pfb.tail_len(n_chan, J)
+
+
+def channelize_stream(
+    x: jnp.ndarray,
+    tail: jnp.ndarray,
+    n_chan: int,
+    taps_np: np.ndarray,
+    poly: jnp.ndarray,
+):
+    """One streaming channelizer step with a RAW-SAMPLE tail carry.
+
+    x: (block,) complex64, block % n_chan == 0; tail: the
+    stream_tail_len(n_chan, taps) samples immediately preceding x (zeros at
+    stream start).  Returns (out (block//n_chan, n_chan), new_tail).  The
+    carry is backend-independent (raw samples, not commutator rows), so a
+    checkpoint taken on TPU (fused kernels.pfb path) resumes bit-identically
+    on CPU (XLA fallback) and vice versa.
+    """
+    from tpu_ofdm.kernels import pfb, scan
+
+    J = poly.shape[0]
+    C = pfb.tail_len(n_chan, J)
+    x = x.astype(jnp.complex64)
+    if x.ndim == 1 and scan.use_pallas() and pfb.supported(n_chan):
+        out = pfb.channelize_fused(x, n_chan, taps_np, tail=tail)
+    else:
+        k = (J - 1) * n_chan
+        hist = commutator_rows(tail[..., C - k :], n_chan)
+        ext = jnp.concatenate([hist, commutator_rows(x, n_chan)], axis=-2)
+        out = channelize_ext(ext, poly)
+    n = x.shape[-1]
+    if n >= C:
+        new_tail = x[..., n - C :]
+    else:
+        new_tail = jnp.concatenate([tail, x], axis=-1)[..., -C:]
+    return out, new_tail
+
+
 def channelizer_block(n_chan: int, taps: np.ndarray | None = None) -> Block:
     """Streaming channelizer Block: (block,) samples -> (n_out, n_chan)
-    channel samples per step; carries J-1 commutator rows of history.
+    channel samples per step; carries a raw-sample overlap-save tail.
     Block size must be a multiple of n_chan."""
     taps_np = lowpass_taps(n_chan) if taps is None else np.asarray(taps)
-    poly_np = polyphase_decompose(taps_np, n_chan)
-    J = poly_np.shape[0]
-    poly = jnp.asarray(poly_np)
+    poly = jnp.asarray(polyphase_decompose(taps_np, n_chan))
+    C = stream_tail_len(n_chan, taps_np)
 
     def init():
         # numpy: eager device complex64 is illegal on this TPU backend
-        return np.zeros((J - 1, n_chan), dtype=np.complex64)
+        return np.zeros((C,), dtype=np.complex64)
 
-    def apply(hist, x):
-        rows = commutator_rows(x.astype(jnp.complex64), n_chan)
-        ext = jnp.concatenate([hist, rows], axis=-2)
-        out = channelize_ext(ext, poly)
-        return ext[..., -(J - 1):, :] if J > 1 else hist, out
+    def apply(tail, x):
+        out, new_tail = channelize_stream(x, tail, n_chan, taps_np, poly)
+        return new_tail, out
 
     return Block(init, apply, f"pfb_channelizer({n_chan})")
