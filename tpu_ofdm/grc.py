@@ -58,6 +58,7 @@ class BlockDesc:
     def __init__(self, name: str, factory: Callable[..., Block]):
         self.name = name
         self.factory = factory
+        self.open_ended = False  # factory takes **kwargs (e.g. OFDM params)
         try:
             sig = inspect.signature(factory)
             self.params = {
@@ -66,11 +67,15 @@ class BlockDesc:
                 for p in sig.parameters.values()
                 if p.kind not in (p.VAR_POSITIONAL, p.VAR_KEYWORD)
             }
+            self.open_ended = any(
+                p.kind == p.VAR_KEYWORD for p in sig.parameters.values()
+            )
         except (TypeError, ValueError):
             self.params = {}
 
     def make(self, params: dict[str, Any]) -> Block:
-        unknown = set(params) - set(self.params) if self.params else set()
+        unknown = (set(params) - set(self.params)
+                   if self.params and not self.open_ended else set())
         if unknown:
             raise FlowgraphError(
                 f"block type {self.name!r}: unknown params {sorted(unknown)}; "
@@ -132,18 +137,58 @@ register("spectrum_probe", spectrum_probe_block)
 register("waterfall", waterfall_block)
 
 
+def _stream_cfg(block_size, max_frames_per_block):
+    from tpu_ofdm.config import StreamConfig
+
+    return StreamConfig(block_size=block_size,
+                        max_frames_per_block=max_frames_per_block)
+
+
 def _ofdm_rx_stream(block_size: int = 1 << 15, max_frames_per_block: int = 8,
                     **ofdm_params) -> Block:
-    from tpu_ofdm.config import OfdmConfig, StreamConfig
+    from tpu_ofdm.config import OfdmConfig
     from tpu_ofdm.modem.rx_stream import rx_stream_block
 
     cfg = OfdmConfig(**ofdm_params)
-    sc = StreamConfig(block_size=block_size,
-                      max_frames_per_block=max_frames_per_block)
-    return rx_stream_block(cfg.spec, sc)
+    return rx_stream_block(
+        cfg.spec, _stream_cfg(block_size, max_frames_per_block))
+
+
+def _ofdm_tx_stream(block_size: int = 1 << 15, max_frames_per_block: int = 8,
+                    gap: int | None = None, **ofdm_params) -> Block:
+    from tpu_ofdm.config import OfdmConfig
+    from tpu_ofdm.modem.tx_stream import tx_stream_block
+
+    cfg = OfdmConfig(**ofdm_params)
+    return tx_stream_block(
+        cfg.spec, _stream_cfg(block_size, max_frames_per_block), gap=gap)
+
+
+def _wideband_rx(n_chan: int, block_size: int = 1 << 18,
+                 max_frames_per_block: int = 8, taps=None,
+                 equalizer: str = "pilot_phase", **ofdm_params) -> Block:
+    from tpu_ofdm.config import OfdmConfig
+    from tpu_ofdm.modem.wideband import wideband_rx_block
+
+    cfg = OfdmConfig(**ofdm_params)
+    return wideband_rx_block(
+        cfg.spec, n_chan, _stream_cfg(block_size, max_frames_per_block),
+        taps=None if taps is None else _resolve_taps(taps),
+        equalizer=equalizer)
+
+
+def _channel_model(**kw) -> Block:
+    from tpu_ofdm.ops.channel import channel_block
+
+    if kw.get("taps") is not None:
+        kw["taps"] = _resolve_taps(kw["taps"])
+    return channel_block(**kw)
 
 
 register("ofdm_rx_stream", _ofdm_rx_stream)
+register("ofdm_tx_stream", _ofdm_tx_stream)
+register("wideband_rx", _wideband_rx)
+register("channel_model", _channel_model)
 
 
 # --- the grcc analog --------------------------------------------------------

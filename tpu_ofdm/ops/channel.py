@@ -57,6 +57,61 @@ def timing_offset(x: jnp.ndarray, delay: int) -> jnp.ndarray:
     return jnp.concatenate([z, x], axis=-1)
 
 
+def channel_block(
+    seed: int = 0,
+    snr_db: float | None = None,
+    cfo: float = 0.0,
+    fft_len: int = 64,
+    taps=None,
+    phase: float = 0.0,
+    signal_power: float = 1.0,
+):
+    """Streaming channel-model Block (registrable in grc.REGISTRY): the
+    block-at-a-time form of channel_model for executor-driven loopback
+    flowgraphs (cf. channels::channel_model as a live flowgraph node,
+    SURVEY.md §2b).
+
+    Carries (PRNG key, CFO phase accumulator, multipath history) so the
+    impairments are CONTINUOUS across block boundaries: the CFO rotation
+    picks up where the previous block ended, and the FIR multipath sees the
+    last len(taps)-1 samples of the previous block.  AWGN here is sized
+    against a STATIC `signal_power` (default 1.0 -- the modem's unit-power
+    constellations), not measured per block, because a block may be mostly
+    inter-frame silence.
+    """
+    import numpy as np
+
+    from tpu_ofdm.stream.block import Block
+
+    taps_np = None if taps is None else np.asarray(taps, np.complex64)
+    k_hist = 0 if taps_np is None else len(taps_np) - 1
+
+    def init():
+        return (
+            np.asarray(jax.random.PRNGKey(seed)),
+            np.zeros((), np.float32),                  # CFO phase (radians)
+            np.zeros(k_hist, np.complex64),            # multipath history
+        )
+
+    def apply(state, x):
+        key, ph0, hist = state
+        y = x
+        if taps_np is not None:
+            ext = jnp.concatenate([hist, y], axis=-1)
+            y = multipath(ext, taps_np)[..., k_hist:]
+            hist = ext[..., -k_hist:] if k_hist else hist
+        n = jnp.arange(y.shape[-1], dtype=jnp.float32)
+        w = jnp.float32(2.0 * jnp.pi * cfo / fft_len)
+        y = (y * jnp.exp(1j * (w * n + ph0 + phase))).astype(jnp.complex64)
+        ph1 = jnp.mod(ph0 + w * y.shape[-1], 2.0 * jnp.pi)
+        if snr_db is not None:
+            key, sub = jax.random.split(key)
+            y = awgn(sub, y, snr_db, signal_power=signal_power)
+        return (key, ph1, hist), y
+
+    return Block(init, apply, "channel_model")
+
+
 def channel_model(
     key: jax.Array,
     x: jnp.ndarray,

@@ -16,6 +16,9 @@ can be added as a node of another Flowgraph.
 Port conventions:
   * a node's output is whatever its Block.apply returns as y; a tuple y is
     a multi-port output addressed as (node, port);
+  * a NamedTuple y is a single structured value whose FIELDS are named
+    out-ports: ('tx', 'samples') reads y.samples -- the analog of the
+    reference's named output ports on hier blocks;
   * a node with several in-edges receives a TUPLE of inputs ordered by its
     declared in-port index (a 1-input node receives the bare value);
   * graph inputs are declared with add_input(); the built Block's x is the
@@ -35,14 +38,17 @@ from typing import Any
 
 from tpu_ofdm.stream.block import Block
 
-Port = tuple[str, int]
+Port = tuple[str, "int | str"]  # int = tuple index, str = NamedTuple field
 
 
 def _as_port(ref) -> Port:
-    """'node' -> ('node', 0); ('node', k) passes through."""
+    """'node' -> ('node', 0); ('node', k) passes through; ('node', 'field')
+    names a NamedTuple output field."""
     if isinstance(ref, str):
         return (ref, 0)
     node, port = ref
+    if isinstance(port, str) and not port.isdigit():
+        return (str(node), port)
     return (str(node), int(port))
 
 
@@ -205,7 +211,16 @@ class Flowgraph:
                     return ext_in[p]
                 y = produced[src]
                 # plain tuples are multi-port outputs; NamedTuples (e.g.
-                # SpectrumSummary) are single structured values
+                # SpectrumSummary, TxStreamOut) are single structured values
+                # whose fields are addressable as NAMED ports
+                if isinstance(p, str):
+                    if not hasattr(y, "_fields") or p not in y._fields:
+                        raise FlowgraphError(
+                            f"node {src!r} has no output field {p!r}"
+                            + (f"; fields: {y._fields}" if hasattr(y, "_fields")
+                               else " (output is not a NamedTuple)")
+                        )
+                    return getattr(y, p)
                 if isinstance(y, tuple) and not hasattr(y, "_fields"):
                     return y[p]
                 if p != 0:
@@ -230,4 +245,10 @@ class Flowgraph:
             outs = tuple(read(o) for o in outputs)
             return tuple(new_states), (outs[0] if single_out else outs)
 
-        return Block(init, apply, name=self.name, latency=latency)
+        # a graph fed through a non-stream input (e.g. the PDU-fed TX) must
+        # opt out of the executor's per-leaf block_size shape check too
+        stream_input = all(
+            nodes[n].block.stream_input for (n, _) in self._inputs
+        )
+        return Block(init, apply, name=self.name, latency=latency,
+                     stream_input=stream_input)
