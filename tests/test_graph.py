@@ -195,18 +195,25 @@ def test_grc_errors():
 
 
 def test_grc_user_registration():
+    # Clean up the global REGISTRY on exit: other tests assert the built-in
+    # registry exactly (tests/test_grc_registry.py), so a leaked entry makes
+    # the suite order-dependent.
     @grc.register("times_seven")
     def make(k=7.0):
         return multiply_const(k)
 
-    blk = grc.build({
-        "blocks": [{"id": "t", "type": "times_seven"}],
-        "inputs": ["t"], "outputs": ["t"],
-    })
-    ex = StreamExecutor(blk, 4, donate=False)
-    np.testing.assert_allclose(
-        np.asarray(ex.push(np.ones(4, np.float32))), 7.0
-    )
+    try:
+        blk = grc.build({
+            "blocks": [{"id": "t", "type": "times_seven"}],
+            "inputs": ["t"], "outputs": ["t"],
+        })
+        ex = StreamExecutor(blk, 4, donate=False)
+        np.testing.assert_allclose(
+            np.asarray(ex.push(np.ones(4, np.float32))), 7.0
+        )
+    finally:
+        grc.unregister("times_seven")
+    assert "times_seven" not in grc.REGISTRY
 
 
 def test_example_specs_compile():

@@ -104,6 +104,38 @@ def test_tx_stream_back_pressure():
         assert payload == msgs[i]
 
 
+def test_tx_stream_accepted_prefix_mid_batch():
+    """Negative case for the prefix invariant ofdm_chat relies on: when
+    back-pressure refuses slots MID-batch, accepted must still be exactly
+    [True]*n + [False]*rest -- never a hole followed by an acceptance.
+    Structural reason: place() refuses iff cur + F > B and cur is monotone
+    non-decreasing over slots, so the first refusal refuses all later slots
+    (tx_stream.py place())."""
+    cfg = OfdmConfig(modulation="qpsk", max_payload_bytes=64)
+    spec = cfg.spec
+    # Buffer B = S + K*(F+gap); fill it in one oversized batch so the tail
+    # slots are refused in the SAME push as accepted head slots.
+    sc = StreamConfig(block_size=256, max_frames_per_block=8)
+    ex = StreamExecutor(tx_stream_block(spec, sc), sc.block_size)
+    msgs = [bytes([48 + i]) * 50 for i in range(8)]
+    ti, rest = queue_tx_in(spec, 8, msgs)
+    assert not rest
+    # The pending buffer holds one full batch (B = S + K*(F+gap)), so the
+    # first push accepts everything; keep pushing full batches -- the
+    # backlog drains only S samples/step, so within a few steps a batch is
+    # split: head accepted, tail refused in the SAME push.
+    saw_partial = False
+    for _ in range(6):
+        acc = np.asarray(ex.push(ti).accepted)
+        n_ok = int(acc.sum())
+        np.testing.assert_array_equal(
+            acc, np.arange(len(msgs)) < n_ok, err_msg="accepted not a prefix"
+        )
+        if 0 < n_ok < len(msgs):
+            saw_partial = True
+    assert saw_partial, "no mid-batch refusal exercised; test is vacuous"
+
+
 def test_ofdm_radio_full_duplex():
     """ofdm_radio: one jitted step runs TX and RX; feed radio A's TX output
     into its own RX input one step later (loopback air interface)."""

@@ -81,15 +81,38 @@ class BlockDesc:
                 f"block type {self.name!r}: unknown params {sorted(unknown)}; "
                 f"accepts {sorted(self.params)}"
             )
-        return self.factory(**params)
+        try:
+            return self.factory(**params)
+        except TypeError as e:
+            # Open-ended factories (**kwargs forwarded to e.g. OfdmConfig)
+            # can't be validated up front; surface a typo'd param with the
+            # same FlowgraphError UX as the static check above.
+            raise FlowgraphError(
+                f"block type {self.name!r}: bad params ({e}); fixed params "
+                f"{sorted(self.params)}"
+                + (", plus open-ended OFDM/config kwargs forwarded to the "
+                   "factory" if self.open_ended else "")
+            ) from e
 
 
 def register(name: str, factory: Callable[..., Block] | None = None):
-    """Register a block type; usable as a decorator for user extensions."""
+    """Register a block type; usable as a decorator for user extensions.
+
+    REGISTRY is process-global (mirroring GRC's global block tree), so a
+    user registration is visible to every subsequent build().  Callers that
+    register temporary/experimental types (tests, notebooks) should pair
+    register() with unregister() to avoid leaking entries into unrelated
+    flowgraphs.
+    """
     def _do(f):
         REGISTRY[name] = BlockDesc(name, f)
         return f
     return _do(factory) if factory is not None else _do
+
+
+def unregister(name: str) -> None:
+    """Remove a user-registered block type (no-op if absent)."""
+    REGISTRY.pop(name, None)
 
 
 def _resolve_taps(v):

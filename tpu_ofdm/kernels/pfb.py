@@ -57,7 +57,14 @@ def tail_len(n_chan: int, taps_per_arm: int) -> int:
 
 
 def supported(n_chan: int) -> bool:
-    return n_chan <= LANE and LANE % n_chan == 0
+    """Fused-kernel coverage: lane-folded path for n_chan <= 128 dividing
+    the lane width; row-per-symbol path for n_chan a multiple of 128 up to
+    512 (VMEM: the (N, N) DFT constants cost 8*N*N bytes -- 2 MB at 512;
+    1024 would crowd out the pipeline buffers).  BASELINE config 5's 512
+    channels ride the wide path."""
+    if n_chan <= LANE:
+        return LANE % n_chan == 0
+    return n_chan % LANE == 0 and n_chan <= 512
 
 
 def _mats(taps: np.ndarray, n_chan: int):
