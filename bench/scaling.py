@@ -1,18 +1,21 @@
-"""Weak-scaling measurement of the sharded-capture RX (BASELINE config 5).
+"""Weak-scaling measurement of BASELINE config 5 AT ITS STATED SHAPE:
+a 512-channel wideband capture over a (channel x time) mesh.
 
-Runs sharded_rx_capture_fn over 1/2/4/8 devices of a virtual CPU mesh
-(XLA_FLAGS=--xla_force_host_platform_device_count=8), holding the work PER
-DEVICE constant (weak scaling): T time shards of S samples each, T = number
-of devices.  Correctness is asserted (every injected frame recovered
-exactly once); wall-clock on the CPU host platform is INDICATIVE ONLY --
-all virtual devices share one host's cores, so perfect weak scaling shows
-as ~flat per-shard time, and the number that matters on real hardware is
-the collective count (one ppermute halo exchange per step, independent of
-device count).  The real-chip throughput rows live in bench/results_*.json
-from bench.py / bench/kernels.py.
+Each row holds the WIDEBAND work per device constant (weak scaling) and
+runs the full config-5 program -- sharded channelizer (raw-sample ppermute
+halo over the flattened device order) -> GSPMD all_to_all reshard ->
+(channel x time) sharded demod (shard.wideband.sharded_wideband_capture_fn)
+-- on 1/2/4/8 devices of a virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8).
 
-Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-           python bench/scaling.py
+Correctness is asserted (every injected frame recovered exactly once, on
+the right channel, at the right position); wall-clock on the CPU host
+platform is INDICATIVE ONLY -- all virtual devices share one host's cores,
+so perfect weak scaling shows as ~flat per-device time.  The real-chip
+throughput rows live in bench/results_*.json from bench.py /
+bench/kernels.py.
+
+Usage: python bench/scaling.py
 """
 
 from __future__ import annotations
@@ -41,59 +44,79 @@ jax.config.update("jax_platforms", "cpu")
 from tpu_ofdm.config import OfdmConfig  # noqa: E402
 from tpu_ofdm.modem.rx_stream import history_len  # noqa: E402
 from tpu_ofdm.modem.tx import tx_frame  # noqa: E402
-from tpu_ofdm.shard.mesh import TIME_AXIS, make_mesh  # noqa: E402
-from tpu_ofdm.shard.rx import (  # noqa: E402
-    collect_sharded_frames,
-    sharded_rx_capture_fn,
+from tpu_ofdm.shard.mesh import make_mesh  # noqa: E402
+from tpu_ofdm.shard.rx import collect_sharded_frames  # noqa: E402
+from tpu_ofdm.shard.wideband import sharded_wideband_capture_fn  # noqa: E402
+from tpu_ofdm.spectrum.channelizer import (  # noqa: E402
+    lowpass_taps,
+    synthesize_bursts,
 )
 
+N_CHAN = 512
+ACTIVE_CHANNELS = (5, 130, 300, 511)
 
-def make_capture(spec, n_total: int, frame, gap: int):
+
+def _frame(spec, payload: bytes, fnum: int) -> np.ndarray:
+    buf = np.zeros(spec.max_payload_bytes - 4, np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    r = jax.jit(lambda p: tx_frame(spec, p, len(payload), fnum))(
+        jnp.asarray(buf)
+    )
+    return np.asarray(r.samples)[: int(r.n_samples)]
+
+
+def make_capture(spec, taps, n_total: int, gap: int, noise: float = 0.004):
+    """Sparse config-5 capture: periodic frames on ACTIVE_CHANNELS.
+    Returns (wideband samples, {(channel, abs_start_hint, payload)})."""
+    H = history_len(spec)
+    M = n_total // N_CHAN
+    payload = b"config5 weak scaling frame"
+    f = _frame(spec, payload, 0)
+    bursts, expected = [], []
+    # the capture's last H per-channel samples are owned by no time shard
+    limit = M - H - len(f)
+    for k in ACTIVE_CHANNELS:
+        p = 300 + 37 * k % 600  # desync channels a little
+        while p < limit:
+            bursts.append((k, p, f))
+            expected.append((k, p, payload))
+            p += gap
+    wide = synthesize_bursts(n_total, N_CHAN, bursts, taps=taps)
     rng = np.random.RandomState(0)
-    x = (rng.randn(n_total) + 1j * rng.randn(n_total)).astype(np.complex64)
-    x *= 0.02
-    pos = []
-    p = 300
-    # the capture's final history_len samples are owned by no shard (they
-    # would belong to the next, nonexistent shard) -- keep frames out
-    limit = n_total - history_len(spec) - len(frame)
-    while p < limit:
-        x[p : p + len(frame)] += frame
-        pos.append(p)
-        p += gap
-    return x, pos
+    wide = wide + (
+        (rng.randn(n_total) + 1j * rng.randn(n_total)) * noise
+    ).astype(np.complex64)
+    return wide, expected
 
 
-def run(shard_len: int = 1 << 17, devices=(1, 2, 4, 8)):
+def run(per_dev_wideband: int = 1 << 20,
+        meshes=((1, 1), (2, 1), (2, 2), (4, 2))):
     cfg = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk",
                      max_payload_bytes=64)
     spec = cfg.spec
-    payload = b"weak scaling capture payload"
-    buf = np.zeros(60, np.uint8)
-    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
-    txr = tx_frame(spec, jnp.asarray(buf), len(payload), 7)
-    n_tx = int(txr.n_samples)
-    frame = np.asarray(txr.samples)[:n_tx]
+    taps = lowpass_taps(N_CHAN, taps_per_arm=8)
 
     rows = []
-    for n_dev in devices:
+    for n_c, n_t in meshes:
+        n_dev = n_c * n_t
         if n_dev > len(jax.devices()):
             break
-        mesh = make_mesh(n_channel=1, n_time=n_dev)
-        n_total = shard_len * n_dev
-        x, pos = make_capture(spec, n_total, frame, gap=9000)
-        fn = jax.jit(
-            sharded_rx_capture_fn(spec, mesh, shard_len,
-                                  max_frames_per_shard=32)
-        )
-        xg = jnp.asarray(x).reshape(1, n_total)
+        mesh = make_mesh(n_channel=n_c, n_time=n_t)
+        n_total = per_dev_wideband * n_dev
+        M = n_total // N_CHAN
+        S = M // n_t
+        wide, expected = make_capture(spec, taps, n_total, gap=2500)
+        fn = jax.jit(sharded_wideband_capture_fn(
+            spec, mesh, N_CHAN, S, taps=taps, max_frames_per_shard=8
+        ))
+        xg = jnp.asarray(wide)
         res = jax.block_until_ready(fn(xg))  # compile + correctness run
-        frames = collect_sharded_frames(res, shard_len, spec, n_dev)
-        got = sorted(f["abs_start"] for f in frames if f["crc_ok"]
-                     and f["payload"][: len(payload)] == payload)
-        exp = [p + 12 for p in pos]
+        frames = collect_sharded_frames(res, S, spec, n_t)
+        got = sorted((f["channel"], f["abs_start"]) for f in frames
+                     if f["crc_ok"])
+        exp = sorted((k, p) for k, p, _ in expected)
         ok = len(got) == len(exp) and all(
-            abs(a - b) <= 2 for a, b in zip(got, exp)
+            a == b and abs(x - y) < 40 for (a, x), (b, y) in zip(got, exp)
         )
         t0 = time.perf_counter()
         for _ in range(3):
@@ -101,22 +124,23 @@ def run(shard_len: int = 1 << 17, devices=(1, 2, 4, 8)):
         dt = (time.perf_counter() - t0) / 3
         rows.append(
             {
+                "mesh": f"{n_c}x{n_t} (channel x time)",
                 "devices": n_dev,
-                "total_samples": n_total,
+                "n_chan": N_CHAN,
+                "wideband_samples": n_total,
+                "per_chan_shard": S,
                 "frames_expected": len(exp),
                 "frames_recovered": len(got),
-                "all_recovered": bool(ok),
+                "all_recovered_exactly_once": bool(ok),
                 "sec_per_capture": dt,
-                "samples_per_sec": n_total / dt,
+                "wideband_samples_per_sec": n_total / dt,
                 "per_device_samples_per_sec": n_total / dt / n_dev,
             }
         )
         print(rows[-1])
-        assert ok, (len(got), len(exp))
+        assert ok, (len(got), len(exp), got[:5], exp[:5])
     # weak-scaling efficiency vs the smallest row that PAYS collectives
-    # (the 1-device shard_map compiles the ppermute halo away entirely, so
-    # it is not a comparable baseline -- on this shared-core virtual mesh it
-    # runs ~10x faster per device than any multi-device config)
+    # (1 device compiles the halo/all_to_all away -- not comparable)
     base = next(
         (r["per_device_samples_per_sec"] for r in rows if r["devices"] >= 2),
         rows[0]["per_device_samples_per_sec"],
@@ -131,9 +155,12 @@ def run(shard_len: int = 1 << 17, devices=(1, 2, 4, 8)):
 def main():
     rows = run()
     out = {
-        "suite": "weak_scaling_virtual_cpu",
-        "note": "virtual 8-device CPU mesh; wall-clock indicative only "
-                "(devices share one host's cores); correctness asserted",
+        "suite": "weak_scaling_config5_virtual_cpu",
+        "note": "BASELINE config 5 shape: 512-channel wideband capture, "
+                "(channel x time) mesh, sharded channelizer + demod; "
+                "virtual 8-device CPU mesh -- wall-clock indicative only "
+                "(devices share one host's cores); exactly-once frame "
+                "recovery asserted",
         "rows": rows,
     }
     path = pathlib.Path(__file__).parent / "results_scaling.json"

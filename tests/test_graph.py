@@ -194,6 +194,22 @@ def test_grc_errors():
                    "inputs": ["x"], "outputs": ["x"]})
 
 
+def test_named_in_port_rejected():
+    """Named ports select a SOURCE output field; a string in-port on the
+    destination is a spec error and must fail at connect()/add_input()
+    time with a direct message (ADVICE r3), not later as 'not dense'."""
+    from tpu_ofdm.stream.graph import Flowgraph
+    from tpu_ofdm.stream.block import multiply_const
+
+    fg = Flowgraph()
+    fg.add("a", multiply_const(2.0))
+    fg.add("b", multiply_const(3.0))
+    with pytest.raises(FlowgraphError, match="named port.*destination"):
+        fg.connect("a", ("b", "samples"))
+    with pytest.raises(FlowgraphError, match="named port.*destination"):
+        fg.add_input(("a", "samples"))
+
+
 def test_grc_user_registration():
     # Clean up the global REGISTRY on exit: other tests assert the built-in
     # registry exactly (tests/test_grc_registry.py), so a leaked entry makes

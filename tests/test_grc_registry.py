@@ -74,6 +74,8 @@ CASES = {
                     lambda: _c64(n=1 << 15)),
     "channel_model": ({"seed": 3, "snr_db": 20.0, "cfo": 0.1,
                        "taps": [1.0, 0.1]}, _c64),
+    "ofdm_radio": (dict(_OFDM),
+                   lambda: (tuple(_tx_in()), 0.01 * _c64())),
 }
 
 

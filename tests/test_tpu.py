@@ -285,6 +285,81 @@ def test_pfb_fused_compiled_matches_xla():
                                atol=2e-4 * scale)
 
 
+def test_pfb_fused_wide_compiled_matches_xla():
+    """Compiled WIDE fused channelizer (n_chan > 128: BASELINE config 5's
+    512 channels) vs the golden-matched XLA formulation, multi-tile with a
+    streaming tail -- exercises the (J-1)-row ring and the bf16x3 DFT on
+    real Mosaic-compiled grid steps."""
+    from tpu_ofdm.kernels import pfb
+    from tpu_ofdm.spectrum.channelizer import channelize, lowpass_taps
+
+    n_chan = 512
+    assert pfb.supported(n_chan)
+    taps = lowpass_taps(n_chan)
+    rng = np.random.RandomState(8)
+    n = n_chan * 512  # 512 symbol rows = several 128-row tiles
+    re = rng.randn(n).astype(np.float32)
+    im = rng.randn(n).astype(np.float32)
+    C = pfb.tail_len(n_chan, 8)
+    cut = n // 2
+
+    @jax.jit
+    def run_fused(u, v):
+        x = (u + 1j * v).astype(jnp.complex64)
+        a = pfb.channelize_fused(x[:cut], n_chan, taps)
+        b = pfb.channelize_fused(x[cut:], n_chan, taps,
+                                 tail=x[cut - C : cut])
+        out = jnp.concatenate([a, b], axis=0)
+        return jnp.real(out), jnp.imag(out)
+
+    @jax.jit
+    def run_xla(u, v):
+        out = channelize((u + 1j * v).astype(jnp.complex64), n_chan, taps)
+        return jnp.real(out), jnp.imag(out)
+
+    gr, gi = (np.asarray(z) for z in run_fused(re, im))
+    wr, wi = (np.asarray(z) for z in run_xla(re, im))
+    scale = float(np.abs(wr + 1j * wi).max())
+    np.testing.assert_allclose(gr + 1j * gi, wr + 1j * wi, rtol=0,
+                               atol=2e-4 * scale)
+
+
+def test_psd_fused_compiled_matches_xla():
+    """Compiled fused windowed-PSD kernel (kernels.psd) vs the golden-
+    matched XLA chain, on device, tone + noise."""
+    from tpu_ofdm.kernels import psd as kpsd
+    from tpu_ofdm.kernels import scan as kscan
+    from tpu_ofdm.spectrum.psd import psd_frames
+
+    fft_len = 1024
+    rng = np.random.RandomState(9)
+    n = fft_len * 512
+    t = np.arange(n)
+    sig = (0.5 * np.exp(2j * np.pi * 200.25 * t / fft_len)
+           + 0.05 * (rng.randn(n) + 1j * rng.randn(n)))
+    re = sig.real.astype(np.float32)
+    im = sig.imag.astype(np.float32)
+
+    @jax.jit
+    def run_fused(u, v):
+        return kpsd.psd_fused((u + 1j * v).astype(jnp.complex64), fft_len)
+
+    @jax.jit
+    def run_xla(u, v):
+        return psd_frames((u + 1j * v).astype(jnp.complex64).reshape(1, -1),
+                          fft_len)[0]
+
+    orig = kscan.use_pallas
+    kscan.use_pallas = lambda: False  # force psd_frames' XLA branch
+    try:
+        want = np.asarray(run_xla(re, im))
+    finally:
+        kscan.use_pallas = orig
+    got = np.asarray(run_fused(re, im))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4 * want.max())
+    assert (got.argmax(axis=-1) == 200).all()
+
+
 def test_device_io_packing_round_trip():
     from tpu_ofdm.utils.device_io import maybe_encode, to_host, tpu_safe
 

@@ -78,6 +78,81 @@ def run_local(args) -> int:
     return 0
 
 
+def run_mesh(args) -> int:
+    """Multi-device wideband worker (SURVEY.md §5 last row): channelize the
+    capture over a (channel x time) device mesh, per-channel PSD, on-device
+    `all_gather_spectrum` consensus -- then ONE UDP publish of the full-band
+    view (instead of the reference's every-worker-ships-its-PSD socket
+    fan-in).  Retune control messages are re-broadcast to every process via
+    shard.distributed.broadcast_control before being applied."""
+    import jax
+
+    from tpu_ofdm.shard import balanced_factors, make_mesh
+    from tpu_ofdm.shard.distributed import broadcast_control
+    from tpu_ofdm.shard.wideband import flatten_band, mesh_psd_step_fn
+    from tpu_ofdm.utils.device_io import maybe_encode, tpu_safe
+
+    devices = jax.devices()
+    n_c, n_t = balanced_factors(len(devices))
+    mesh = make_mesh(n_channel=n_c, n_time=n_t)
+    n_chan, nb = args.n_chan, args.chan_fft_len
+    quantum = n_chan * nb * n_t
+    block_size = max(1, args.block_size // quantum) * quantum
+    step, C_tail = mesh_psd_step_fn(mesh, n_chan, nb, window=args.window)
+    jstep = jax.jit(tpu_safe(step))
+
+    src = make_source(args, block_size)
+    pub = SpectrumPublisher((args.remote_host, args.port))
+    center_freq = args.center_freq
+    shift = 0.0
+    tail = maybe_encode(np.zeros(C_tail, np.complex64))
+    max_hold = None
+    sent = 0
+    t_next = time.time()
+    try:
+        for i, block in enumerate(src):
+            if args.blocks and i >= args.blocks:
+                break
+            if shift:
+                n = np.arange(len(block))
+                block = (block * np.exp(-2j * np.pi * shift * n)).astype(
+                    np.complex64
+                )
+            full, tail = jstep(tail, maybe_encode(block))
+            now = time.time()
+            if now >= t_next:
+                flat = flatten_band(np.asarray(to_host(full)))
+                max_hold = flat if max_hold is None else np.maximum(
+                    max_hold, flat
+                )
+                pub.publish(center_freq, args.sample_rate, flat, max_hold, 1)
+                sent += 1
+                t_next = now + 1.0 / args.frame_rate
+                ctl = pub.poll_control()
+                # every process applies the SAME control stream: process 0's
+                # messages win (single-process: identity)
+                ctl = broadcast_control(ctl)
+                for msg in ctl or []:
+                    if msg.get("cmd") == "retune":
+                        new = float(msg["freq"])
+                        shift += (new - center_freq) / args.sample_rate
+                        center_freq = new
+                        print(f"retuned to {center_freq/1e6:.3f} MHz",
+                              file=sys.stderr)
+                    elif msg.get("cmd") == "reset":
+                        max_hold = None
+    except KeyboardInterrupt:
+        pass
+    finally:
+        pub.close()
+    print(
+        f"published {sent} consensus frames from a {n_c}x{n_t} mesh "
+        f"({n_chan} channels x {nb} bins)",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def run_remote(args) -> int:
     sub = SpectrumSubscriber(bind_port=args.port)
     if args.retune:
@@ -130,6 +205,23 @@ def build_parser() -> argparse.ArgumentParser:
     lp.add_argument("--blocks", type=int, default=0,
                     help="stop after N blocks (0 = endless)")
 
+    mp = sp.add_parser("mesh", help="multi-device wideband worker")
+    add_source_args(mp)
+    mp.add_argument("--n-chan", type=int, default=64,
+                    help="channelizer channels (sharded over the mesh)")
+    mp.add_argument("--chan-fft-len", type=int, default=64,
+                    help="PSD bins per channel")
+    mp.add_argument("--window", default="hann")
+    mp.add_argument("--block-size", type=int, default=1 << 18,
+                    help="wideband samples per step (rounded to a whole "
+                         "number of per-channel PSD frames per time shard)")
+    mp.add_argument("--remote-host", default="127.0.0.1")
+    mp.add_argument("--port", type=int, default=46864)
+    mp.add_argument("--center-freq", type=float, default=0.0)
+    mp.add_argument("--sample-rate", type=float, default=1e6)
+    mp.add_argument("--frame-rate", type=float, default=10.0)
+    mp.add_argument("--blocks", type=int, default=0)
+
     rp = sp.add_parser("remote", help="display-side client")
     rp.add_argument("--port", type=int, default=46864)
     rp.add_argument("--frames", type=int, default=0,
@@ -146,7 +238,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return run_local(args) if args.mode == "local" else run_remote(args)
+    if args.mode == "local":
+        return run_local(args)
+    if args.mode == "mesh":
+        return run_mesh(args)
+    return run_remote(args)
 
 
 if __name__ == "__main__":

@@ -208,10 +208,27 @@ def _channel_model(**kw) -> Block:
     return channel_block(**kw)
 
 
+def _ofdm_radio(block_size: int = 1 << 15, max_frames_per_block: int = 8,
+                equalizer: str = "pilot_phase", output: str = "hard",
+                tx_gap: int | None = None, **ofdm_params) -> Block:
+    """Full-duplex modem hier block (the reference's ofdm_radio_hier,
+    SURVEY.md §2a row 1): one step runs TX and RX together.  Input per step
+    is (TxStreamIn, rx_samples); drive it from an executor, not a sample
+    connection (stream_input=False)."""
+    from tpu_ofdm.config import OfdmConfig
+    from tpu_ofdm.modem.radio import ofdm_radio
+
+    cfg = OfdmConfig(**ofdm_params)
+    return ofdm_radio(cfg.spec,
+                      _stream_cfg(block_size, max_frames_per_block),
+                      equalizer=equalizer, output=output, tx_gap=tx_gap)
+
+
 register("ofdm_rx_stream", _ofdm_rx_stream)
 register("ofdm_tx_stream", _ofdm_tx_stream)
 register("wideband_rx", _wideband_rx)
 register("channel_model", _channel_model)
+register("ofdm_radio", _ofdm_radio)
 
 
 # --- the grcc analog --------------------------------------------------------

@@ -154,6 +154,162 @@ def _pfb_pallas(qt, gre, gim, hre, him, re, im, J: int, N: int, rpt: int):
     )(qt, gre, gim, hist, re, im)
 
 
+# --- wide path: n_chan a multiple of the lane width (BASELINE config 5's
+# 512 channels).  The lane-folded mapping above packs P = 128/N channels per
+# row; past 128 the natural inverse applies: reshape the flat stream to
+# (M, N) so each ROW is one commutator load y[m, :] = x[m*N : (m+1)*N].
+# Every FIR lag j*N is then a whole-row (sublane) shift -- no lane shuffles
+# at all -- and the cross-arm DFT is ONE (mt, N) @ (N, N) MXU matmul per
+# re/im product.  HBM traffic is the same 16 B/sample as the narrow path.
+
+_SYMS_PER_TILE = 128  # rows of N lanes per grid step (tuned on bench chip)
+
+# DFT matmul precision for the wide path.  On TPU f32 matmuls are emulated
+# in bf16 passes (HIGHEST = 6); Mosaic rejects Precision.HIGH inside Pallas,
+# so the 3-pass bf16x3 split is done by hand: G is pre-split host-side into
+# hi + lo bf16 halves, z per tile, and a@b ~= ah@bh + ah@bl + al@bh with f32
+# accumulation -- ~2^-16 relative error, far inside the chain's 2e-4 golden
+# tolerance, at half HIGHEST's MXU cost.  The (mt,N)@(N,N) DFT at N=512 is
+# compute-significant (4096 flop/sample), so this is the difference between
+# 5.2 and ~7 Gsamp/s on the bench chip (BASELINE.md).
+
+
+def _mats_wide(taps: np.ndarray, n_chan: int):
+    """(q (J, N) f32, Gre (N, N) f32, Gim) constants -- same q[j, b] =
+    poly[j, N-1-b] / G[b, k] = e^{2pi i (N-1-b) k / N} fold as _mats, minus
+    the lane tiling/blockdiag (the symbol owns all N lanes of its rows)."""
+    from tpu_ofdm.spectrum.channelizer import polyphase_decompose
+
+    N = n_chan
+    poly = polyphase_decompose(np.asarray(taps, np.float32), N)  # (J, N)
+    q = np.ascontiguousarray(poly[:, ::-1]).astype(np.float32)
+    b = np.arange(N)[:, None]
+    k = np.arange(N)[None, :]
+    G = np.exp(2j * np.pi * (((N - 1 - b) * k) % N) / N)
+    return (q,
+            np.ascontiguousarray(G.real.astype(np.float32)),
+            np.ascontiguousarray(G.imag.astype(np.float32)))
+
+
+def _split_bf16(a: np.ndarray):
+    """f32 -> (hi, lo) bf16 with a ~= hi + lo (hi = round-to-bf16, lo = the
+    rounding residual), the host-side half of the bf16x3 matmul."""
+    import ml_dtypes
+
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _mm_bf16x3(a, b_hi, b_lo):
+    """a (f32) @ b via 3 bf16 MXU passes with f32 accumulation."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda p, q: jax.lax.dot_general(
+        p, q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def _kernel_wide(J: int, N: int, mt: int,
+                 qt, grh, grl, gih, gil, hist, xre, xim,
+                 ore, oim,
+                 ring):
+    it = pl.program_id(0)
+
+    @pl.when(it == 0)
+    def _():
+        ring[...] = hist[...]            # (2*(J-1), N): last J-1 symbol rows
+
+    a_re, a_im = xre[...], xim[...]                     # (mt, N)
+    prev = ring[...]
+    # causal FIR over symbol rows: z[m] = sum_j q[j] * y[m - j]
+    ext_re = jnp.concatenate([prev[: J - 1], a_re], axis=0)
+    ext_im = jnp.concatenate([prev[J - 1 :], a_im], axis=0)
+    z_re = qt[0, :][None, :] * a_re
+    z_im = qt[0, :][None, :] * a_im
+    for j in range(1, J):
+        tv = qt[j, :][None, :]
+        z_re = z_re + tv * ext_re[J - 1 - j : J - 1 - j + mt]
+        z_im = z_im + tv * ext_im[J - 1 - j : J - 1 - j + mt]
+
+    zG_r = _mm_bf16x3(z_re, grh[...], grl[...])
+    zG_i = _mm_bf16x3(z_im, gih[...], gil[...])
+    ore[...] = zG_r - zG_i
+    oim[...] = (_mm_bf16x3(z_re, gih[...], gil[...])
+                + _mm_bf16x3(z_im, grh[...], grl[...]))
+
+    ring[...] = jnp.concatenate(
+        [ext_re[mt:], ext_im[mt:]], axis=0  # last J-1 rows incl. short tiles
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("J", "N", "mt"))
+def _pfb_pallas_wide(qt, grh, grl, gih, gil, hre, him, re, im,
+                     J: int, N: int, mt: int):
+    rows = re.shape[0]
+    assert rows % mt == 0, (rows, mt)
+    hist = jnp.concatenate([hre, him], axis=0)          # (2*(J-1), N)
+    const = lambda shape, _d=jnp.float32: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    tile = pl.BlockSpec((mt, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_wide, J, N, mt),
+        grid=(rows // mt,),
+        in_specs=[const(qt.shape)] + [const((N, N))] * 4
+                 + [const(hist.shape), tile, tile],
+        out_specs=[tile, tile],
+        out_shape=[jax.ShapeDtypeStruct((rows, N), jnp.float32)] * 2,
+        scratch_shapes=[pltpu.VMEM((2 * (J - 1), N), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(qt, grh, grl, gih, gil, hist, re, im)
+
+
+def _channelize_fused_wide(x, n_chan, taps, tail):
+    from tpu_ofdm.spectrum.channelizer import polyphase_decompose
+
+    N = n_chan
+    poly = polyphase_decompose(np.asarray(taps, np.float32), N)
+    J = poly.shape[0]
+    qt, gre, gim = _mats_wide(taps, N)
+    grh, grl = _split_bf16(gre)
+    gih, gil = _split_bf16(gim)
+    n = x.shape[-1]
+    M = n // N
+
+    if tail is None:
+        hre = jnp.zeros((J - 1, N), jnp.float32)
+        him = hre
+    else:
+        # carry layout is tail_len() samples for checkpoint compatibility
+        # with the narrow/XLA paths; the FIR needs only the last (J-1)*N
+        assert tail.shape[-1] >= (J - 1) * N, (tail.shape, J, N)
+        t = tail[..., tail.shape[-1] - (J - 1) * N :]
+        hre = jnp.real(t).astype(jnp.float32).reshape(J - 1, N)
+        him = jnp.imag(t).astype(jnp.float32).reshape(J - 1, N)
+
+    mt = min(_SYMS_PER_TILE, -(-M // 8) * 8)
+    M_p = -(-M // mt) * mt
+    re = jnp.real(x).astype(jnp.float32)
+    im = jnp.imag(x).astype(jnp.float32)
+    pad = M_p * N - n
+    if pad:
+        re = jnp.pad(re, (0, pad))
+        im = jnp.pad(im, (0, pad))
+    ore, oim = _pfb_pallas_wide(
+        jnp.asarray(qt),
+        jnp.asarray(grh), jnp.asarray(grl),
+        jnp.asarray(gih), jnp.asarray(gil),
+        hre, him,
+        re.reshape(M_p, N), im.reshape(M_p, N), J=J, N=N, mt=mt,
+    )
+    return (ore[:M] + 1j * oim[:M]).astype(jnp.complex64)
+
+
 def channelize_fused(x: jnp.ndarray, n_chan: int, taps: np.ndarray,
                      tail: jnp.ndarray | None = None) -> jnp.ndarray:
     """Fused channelizer over a flat sample buffer x (n,), n % n_chan == 0.
@@ -168,14 +324,17 @@ def channelize_fused(x: jnp.ndarray, n_chan: int, taps: np.ndarray,
     from tpu_ofdm.spectrum.channelizer import polyphase_decompose
 
     N = n_chan
+    assert supported(N), N
+    n = x.shape[-1]
+    assert n % N == 0, (n, N)
+    if N > LANE:
+        return _channelize_fused_wide(x, n_chan, taps, tail)
     poly = polyphase_decompose(np.asarray(taps, np.float32), N)
     J = poly.shape[0]
     qt, gre, gim = _mats(taps, N)
     qmax = ((J - 1) * N) // LANE
     C = (qmax + 1) * LANE
 
-    n = x.shape[-1]
-    assert n % N == 0, (n, N)
     if tail is None:
         hre = jnp.zeros((qmax + 1, LANE), jnp.float32)
         him = hre

@@ -57,6 +57,17 @@ def timing_offset(x: jnp.ndarray, delay: int) -> jnp.ndarray:
     return jnp.concatenate([z, x], axis=-1)
 
 
+def ofdm_signal_power(spec) -> float:
+    """Per-sample TX power of an OFDM frame from this modem: the IFFT of
+    n_occupied unit-power carriers over fft_len bins, times the TX scale --
+    what channel_block's signal_power should be for a loopback graph whose
+    realized per-FRAME-sample SNR must equal the requested snr_db (ADVICE r3:
+    the generic 1.0 default under-delivers SNR by ~0.9 dB for the default
+    64-FFT config, n_occupied/fft_len ~ 0.81)."""
+    return float(spec.n_occupied) / float(spec.fft_len) * float(
+        getattr(spec, "scale", 1.0)) ** 2
+
+
 def channel_block(
     seed: int = 0,
     snr_db: float | None = None,
@@ -69,15 +80,20 @@ def channel_block(
     """Streaming channel-model Block (registrable in grc.REGISTRY): the
     block-at-a-time form of channel_model for executor-driven loopback
     flowgraphs (cf. channels::channel_model as a live flowgraph node,
-    SURVEY.md §2b).
+    SURVEY.md §2b).  1-D sample streams only (the multipath history carry
+    is a fixed (k_hist,) buffer); use channel_model directly for batched
+    captures.
 
     Carries (PRNG key, CFO phase accumulator, multipath history) so the
     impairments are CONTINUOUS across block boundaries: the CFO rotation
     picks up where the previous block ended, and the FIR multipath sees the
     last len(taps)-1 samples of the previous block.  AWGN here is sized
-    against a STATIC `signal_power` (default 1.0 -- the modem's unit-power
-    constellations), not measured per block, because a block may be mostly
-    inter-frame silence.
+    against a STATIC `signal_power`, not measured per block, because a
+    block may be mostly inter-frame silence.  NOTE the default of 1.0 is
+    the unit-power-constellation convention; this modem's frames average
+    n_occupied/fft_len (~0.81 for the default 64-FFT config) per frame
+    sample, so pass signal_power=ofdm_signal_power(spec) when the realized
+    per-frame-sample SNR must match snr_db exactly.
     """
     import numpy as np
 
@@ -94,6 +110,11 @@ def channel_block(
         )
 
     def apply(state, x):
+        if x.ndim != 1:
+            raise ValueError(
+                "channel_block is a 1-D-stream block (its multipath history "
+                "carry is (k_hist,)); vmap channel_model for batched inputs"
+            )
         key, ph0, hist = state
         y = x
         if taps_np is not None:

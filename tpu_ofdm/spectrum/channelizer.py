@@ -131,6 +131,57 @@ def channelize_stream(
     return out, new_tail
 
 
+def synthesize_wideband(chans: np.ndarray,
+                        taps: np.ndarray | None = None) -> np.ndarray:
+    """Synthesis filterbank (host-side numpy): per-channel baseband samples
+    (M, n_chan) -> one wideband stream (M * n_chan,).
+
+    The dual of `channelize` (cf. gr-filter's pfb_synthesizer_ccf,
+    gr-filter/lib/pfb_synthesizer_ccf_impl.cc, unverified path): each
+    channel is upsampled by n_chan, shaped with the prototype lowpass, and
+    upconverted to its center k*fs/n_chan.  Used as the TX-side oracle for
+    wideband RX tests and the config-5 capture builder; channels that are
+    all-zero are skipped, so synthesizing a sparse capture is cheap.
+    Filtering is FFT-based (exact linear convolution, truncated to the
+    capture length like np.convolve(...)[:wide_len]).
+    """
+    chans = np.asarray(chans)
+    M, N = chans.shape
+    active = np.nonzero(np.abs(chans).sum(axis=0))[0]
+    return synthesize_bursts(
+        M * N, N, [(int(k), 0, chans[:, k]) for k in active], taps=taps
+    )
+
+
+def synthesize_bursts(wide_len: int, n_chan: int, bursts,
+                      taps: np.ndarray | None = None) -> np.ndarray:
+    """Sparse synthesis filterbank: place per-channel bursts into one
+    wideband stream (host-side numpy).
+
+    bursts: iterable of (channel k, per-channel offset, complex samples).
+    Each burst is upsampled by n_chan, shaped with the prototype lowpass
+    (exact FFT-based linear convolution over just the burst's footprint),
+    upconverted to k*fs/n_chan with ABSOLUTE-index phase (so overlapping
+    bursts on one channel stay coherent), and summed.  Cost scales with the
+    occupied samples, not the capture length -- building a long config-5
+    capture with a handful of frames is cheap.
+    """
+    taps_np = lowpass_taps(n_chan) if taps is None else np.asarray(taps)
+    out = np.zeros(wide_len, np.complex128)
+    for k, off, f in bursts:
+        f = np.asarray(f)
+        seg = np.zeros(len(f) * n_chan, np.complex128)
+        seg[::n_chan] = f
+        L = len(seg) + len(taps_np) - 1
+        nfft = 1 << max(1, (L - 1).bit_length())
+        s = np.fft.ifft(np.fft.fft(seg, nfft) * np.fft.fft(taps_np, nfft))[:L]
+        pos = off * n_chan
+        end = min(wide_len, pos + L)
+        nn = np.arange(pos, end)
+        out[pos:end] += s[: end - pos] * np.exp(2j * np.pi * k * nn / n_chan)
+    return out.astype(np.complex64)
+
+
 def channelizer_block(n_chan: int, taps: np.ndarray | None = None) -> Block:
     """Streaming channelizer Block: (block,) samples -> (n_out, n_chan)
     channel samples per step; carries a raw-sample overlap-save tail.

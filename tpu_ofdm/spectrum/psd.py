@@ -25,7 +25,17 @@ from tpu_ofdm.stream.block import Block
 def psd_frames(
     x: jnp.ndarray, fft_len: int, window: str = "hann"
 ) -> jnp.ndarray:
-    """(..., n) samples -> (..., n//fft_len, fft_len) linear-power PSD frames."""
+    """(..., n) samples -> (..., n//fft_len, fft_len) linear-power PSD frames.
+
+    On TPU, 1-D inputs with fft_len in {128..1024, multiples of 128} run the
+    fused single-pass Pallas kernel (kernels.psd, 12 B/sample of HBM
+    traffic); everything else takes the XLA chain below (the golden-matched
+    CI oracle)."""
+    from tpu_ofdm.kernels import psd as kpsd
+    from tpu_ofdm.kernels import scan
+
+    if x.ndim == 1 and scan.use_pallas() and kpsd.supported(fft_len):
+        return kpsd.psd_fused(x, fft_len, window)
     n = x.shape[-1] // fft_len
     frames = x[..., : n * fft_len].reshape(*x.shape[:-1], n, fft_len)
     w = jnp.asarray(win.get(window, fft_len))

@@ -41,13 +41,21 @@ from tpu_ofdm.stream.block import Block
 Port = tuple[str, "int | str"]  # int = tuple index, str = NamedTuple field
 
 
-def _as_port(ref) -> Port:
+def _as_port(ref, side: str = "src") -> Port:
     """'node' -> ('node', 0); ('node', k) passes through; ('node', 'field')
-    names a NamedTuple output field."""
+    names a NamedTuple output field.  Named ports are SOURCE-side only
+    (output fields); in-ports are dense integers, so side='dst' rejects a
+    non-digit string port up front instead of surfacing later as a
+    confusing 'in-ports not dense' error (ADVICE r3)."""
     if isinstance(ref, str):
         return (ref, 0)
     node, port = ref
     if isinstance(port, str) and not port.isdigit():
+        if side == "dst":
+            raise FlowgraphError(
+                f"named port {port!r} on destination {node!r}: named ports "
+                "select a source's output field; in-ports are integers"
+            )
         return (str(node), port)
     return (str(node), int(port))
 
@@ -97,7 +105,7 @@ class Flowgraph:
         """connect('a', 'b') or connect(('a', out_port), ('b', in_port)) --
         the gr.top_block.connect equivalent."""
         s_node, s_port = _as_port(src)
-        d_node, d_port = _as_port(dst)
+        d_node, d_port = _as_port(dst, side="dst")
         for n in (s_node, d_node):
             if n not in self._nodes:
                 raise FlowgraphError(f"unknown node {n!r}")
@@ -112,7 +120,7 @@ class Flowgraph:
     def add_input(self, dst) -> "Flowgraph":
         """Declare that the graph's next external input feeds `dst`
         (node or (node, in_port))."""
-        d_node, d_port = _as_port(dst)
+        d_node, d_port = _as_port(dst, side="dst")
         if d_node not in self._nodes:
             raise FlowgraphError(f"unknown node {d_node!r}")
         if d_port in self._nodes[d_node].in_edges:
