@@ -35,7 +35,7 @@ from tpu_ofdm.utils.device_io import maybe_encode
 
 BASELINE_SAMPLES_PER_S = 1e9  # north-star aggregate target (BASELINE.json)
 
-FRAMES_PER_BLOCK = 56
+FRAMES_PER_BLOCK = 448
 
 
 def make_blocks(spec, n_blocks: int, block_size: int, seed=0):
@@ -70,10 +70,15 @@ def make_blocks(spec, n_blocks: int, block_size: int, seed=0):
 def main():
     cfg = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk")
     spec = cfg.spec
-    # 2^22-sample blocks: the detect chain has a ~1.3 ms fixed cost per step
-    # (per-fusion launch overhead on this backend, bench/profile_rx.py
-    # 2026-08-19), so throughput rises with block size until HBM-bound.
-    sc = StreamConfig(block_size=1 << 22, max_frames_per_block=64)
+    # 2^25-sample blocks: the chain has a ~1.3 ms fixed per-step cost
+    # (dispatch + per-fusion launch overhead on this backend,
+    # bench/profile_rx.py), so throughput rises with block size -- measured
+    # 2026-08-20: 1885 Msamp/s at 2^22 -> 3124 at 2^25 -> 3257 at 2^26
+    # (bench/_headline_sweep.py); 2^25 keeps step latency ~11 ms and the
+    # staged-input footprint ~1 GB.  Frame-slot capacity tracks the injected
+    # load with ~7% headroom: top_k + the vmapped per-slot demod scale with
+    # K (K=672 at this block size cost ~8% of throughput vs K=480).
+    sc = StreamConfig(block_size=1 << 25, max_frames_per_block=480)
 
     blocks = make_blocks(spec, 4, sc.block_size)
     enc = [jax.device_put(maybe_encode(b)) for b in blocks]

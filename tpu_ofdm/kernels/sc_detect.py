@@ -199,14 +199,13 @@ def _kernel(L: int, W: int, c: int, rpt: int,
     # (1, rows) 2-D pallas output read directly by downstream jitted code
     # came back with a mismatched layout on this backend (values correct
     # after a host round-trip, garbage when consumed on device; 2026-08-19).
-    # smarg rides as f32 -- exact for positions < 2^24, asserted by the
-    # wrapper (streaming blocks are <= 2^23 samples).
-    rowidx = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)[:, 0]
-    smarg = ((it * rpt + rowidx) * LANE + argl).astype(jnp.float32)
+    # The argmax rides as the ROW-RELATIVE lane index (0..127, always exact
+    # in f32); the wrapper reconstructs the global position in int32, so
+    # block length is bounded by int32 range, not f32 mantissa.
     rows_o[0] = jnp.stack(
         [
             rowmax,
-            smarg,
+            argl.astype(jnp.float32),
             pick(PRc[0]),
             pick(PRc[1]),
             pick(PRc[2]),
@@ -287,7 +286,7 @@ def sc_detect_rows(r: jnp.ndarray, L: int, cp: int):
     re = jnp.real(rb).astype(jnp.float32)
     im = jnp.imag(rb).astype(jnp.float32)
 
-    assert n < (1 << 24), "positions must stay exact in f32 (see _kernel)"
+    assert n < (1 << 31) - LANE, "positions must stay exact in int32"
     # metric precision needs no companion guard: per-tile carry rebasing
     # bounds L-sum cancellation error by the 32k-sample tile, not n (module
     # doc, Precision paragraph)
@@ -309,9 +308,14 @@ def sc_detect_rows(r: jnp.ndarray, L: int, cp: int):
     im = jnp.pad(im, ((0, 0), (0, pad))).reshape(b, rows_p, LANE)
     (packed,) = _sc_detect_pallas(re, im, L, W, c, rpt)
     out = lambda i: packed[:, i, :rows].reshape(*lead, rows)
+    # global argmax position in int32 from the kernel's row-relative lane
+    # index (exact for any block length; f32 would cap blocks at 2^24)
+    smarg = (
+        jnp.arange(rows, dtype=jnp.int32) * LANE + out(1).astype(jnp.int32)
+    )
     return (
         out(0),
-        out(1).astype(jnp.int32),
+        smarg,
         out(2),
         out(3),
         out(4),
