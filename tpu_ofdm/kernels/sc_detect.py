@@ -12,13 +12,15 @@ selection over the 128x-smaller row arrays lives in ops.sync.
 Per (rpt, 128)-row tile, marching sequentially down the time axis:
   * the input is read ONCE; the L-lagged view x[v-L] is reconstructed from a
     small VMEM ring of the previous tile's rows (no second HBM read),
-  * prod = conj(x[v-L]) x[v], e2 = |x[v]|^2, e1 = |x[v-L]|^2,
-  * TILE-LOCAL prefix sums of the four streams via one MXU matmul against a
-    triangular ones matrix (the kernels/scan.py trick),
+  * prod = conj(x[v-L]) x[v], e2 = |x[v]|^2 (no e1 stream: the first-half
+    energy is the second-half energy L samples earlier, R1(t) = R2(t-L),
+    served by lagging R2 through a small ring of its previous-tile rows),
+  * TILE-LOCAL prefix sums of the three streams via one MXU matmul against
+    a triangular ones matrix (the kernels/scan.py trick),
   * length-L trailing sums as cs[t] - cs[t-L] with the lag served from a
     VMEM ring of REBASED previous-tile values (prev local prefix minus the
     prev tile total, so the cross-tile difference is exact in the same
-    basis) -> P(t), R2(t), R1(t),
+    basis) -> P(t), R2(t),
   * two-sided metric M = |P|^2 / (R1 R2) (ops.sync._metric2 semantics),
   * prefix sum of M + a W = cp+1 lag ring -> CP-boxcar smoothed sm(t),
     plus the deterministic tie-break ramp,
@@ -55,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-_ROWS_PER_TILE = 256
+_ROWS_PER_TILE = 512
 
 
 def _lagged(cur, prev, q: int, s: int):
@@ -115,16 +117,22 @@ def _prefix(streams):
     return y + off[:, :, None]
 
 
-def _kernel(L: int, W: int, c: int, rpt: int,
+def _kernel(L: int, W: int, c: int, rpt: int, nv: int,
             xre, xim,
             rows_o,
             in_ring, cs_ring, cm_ring, pr_ring):
-    """Rings hold the last q+1 rows of [input re/im], [4 REBASED prefix
+    """Rings hold the last q+1 rows of [input re/im], [3 REBASED prefix
     streams], [REBASED M prefix], and [P_re, P_im, R2] respectively, each
     flattened to 2-D (Mosaic SIGABRTs on 3-D VMEM scratch RMW, see module
     doc).  "Rebased" = previous tile's local prefix minus that tile's total,
     so S = cs_local[t] - ring[t - L] is the exact global trailing sum in the
-    current tile's basis (module doc, Precision)."""
+    current tile's basis (module doc, Precision).
+
+    Only THREE streams ride the prefix path: the first-half energy window is
+    the second-half one L samples earlier (R1[t] = R2[t-L] -- both are
+    sum |x[u]|^2 over L consecutive u ending at t-L resp. t), so e1 is not
+    computed at all; R1 is served by lagging R2 through the pr_ring, whose
+    depth is qL+1 rows (covers lag L, and a fortiori the plateau lag c)."""
     it = pl.program_id(1)
     qL, sL = L // LANE, L % LANE
     qW, sW = W // LANE, W % LANE
@@ -149,13 +157,14 @@ def _kernel(L: int, W: int, c: int, rpt: int,
             l_re * a_re + l_im * a_im,               # Re conj(x[v-L]) x[v]
             l_re * a_im - l_im * a_re,               # Im
             a_re * a_re + a_im * a_im,               # e2
-            l_re * l_re + l_im * l_im,               # e1
         ]
-    )                                                 # (4, R, 128)
+    )                                                 # (3, R, 128)
     cs = _prefix(streams)                             # tile-local prefixes
-    csl = _lagged(cs, cs_ring[...].reshape(4, qL + 1, LANE), qL, sL)
+    csl = _lagged(cs, cs_ring[...].reshape(3, qL + 1, LANE), qL, sL)
     S = cs - csl                                      # trailing L-sums at t
-    p_re, p_im, r2, r1 = S[0], S[1], S[2], S[3]
+    p_re, p_im, r2 = S[0], S[1], S[2]
+    prev_pr = pr_ring[...].reshape(3, qL + 1, LANE)
+    r1 = _lagged(r2, prev_pr[2], qL, sL)             # R1[t] = R2[t-L]
 
     # two-sided normalized metric (ops.sync._metric2 semantics)
     p2 = p_re * p_re + p_im * p_im
@@ -168,32 +177,47 @@ def _kernel(L: int, W: int, c: int, rpt: int,
     cml = _lagged(cm, cm_ring[...].reshape(1, qW + 1, LANE), qW, sW)
     sm = (cm - cml)[0] * (1.0 / W)
 
-    rowbase = (it * rpt + jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 0))
-    t_glob = rowbase * LANE + jax.lax.broadcasted_iota(
-        jnp.int32, (r, LANE), 1
-    )
-    # head of stream: t < 2L + W - 2 has only a partial combined window --
-    # mask to the tie-break ramp alone so both backends feed identical rows
-    # to the selection (the jnp fallback pads these positions to -inf)
-    sm = jnp.where(t_glob >= 2 * L + W - 2, sm, 0.0)
-    # deterministic tie-break ramp on the global position (ops.sync._tiebreak)
-    sm = sm + (t_glob & 0xFFFF).astype(jnp.float32) * 1e-7
-
-    # P / R2 at the plateau center t - c; head positions (partial trailing
-    # windows) are zeroed to match the jnp fallback's zero-fill, keeping the
-    # energy gate identical across backends
-    PR = jnp.stack([p_re, p_im, r2])
-    PRc = _lagged(PR, pr_ring[...].reshape(3, qc + 1, LANE), qc, sc)
-    PRc = jnp.where(t_glob[None] >= 2 * L - 1 + c, PRc, 0.0)
-    r2m = jnp.where(t_glob >= 2 * L - 1, r2, 0.0)
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 1)
+    t_loc = jax.lax.broadcasted_iota(
+        jnp.int32, (r, LANE), 0
+    ) * LANE + lane                                   # tile-local position
+
+    # head of stream: positions t < 2L + W - 2 (etc.) have only partial
+    # windows and must be masked to match the jnp fallback.  All thresholds
+    # are < one tile (2L + W <= 2*512 + 129 << rpt*LANE), so for every tile
+    # but the first the masks are all-true: compare against a scalar that
+    # goes negative from tile 1 on, and XLA's VPU predication makes the
+    # always-true lanes free of data movement.
+    # ... and the zero-padded TAIL (positions t >= nv, the true sample
+    # count): sm there still holds real window content decaying over W
+    # samples, which could capture a ragged last row's candidate away from
+    # a genuine in-range peak (the jnp fallback pads those positions to
+    # -inf; selection's ps-range check would drop the candidate, losing
+    # the row).  Both bounds are tile-local scalar compares.
+    base = it * (rpt * LANE)                          # scalar, SREG
+    sm = jnp.where(
+        (t_loc >= 2 * L + W - 2 - base) & (t_loc < nv - base), sm, 0.0
+    )
+    # deterministic tie-break ramp (ops.sync._tiebreak): t & 0xFFFF with
+    # t = t_loc + it*rpt*LANE; since rpt*LANE is a multiple of 2^15 and
+    # 0x10000 = 2 tiles at rpt=256, the wrap reduces to a scalar offset
+    base16 = base & 0xFFFF                            # scalar
+    sm = sm + (t_loc + base16).astype(jnp.float32) * 1e-7
+
+    # P / R2 at the plateau center t - c; the ring covers lag L >= c, so
+    # slice its trailing qc+1 rows for the shorter lag
+    PR = jnp.stack([p_re, p_im, r2])
+    PRc = _lagged(PR, prev_pr[:, qL - qc:, :], qc, sc)
+    PRc = jnp.where(t_loc[None] >= 2 * L - 1 + c - base, PRc, 0.0)
+    r2m = jnp.where(t_loc >= 2 * L - 1 - base, r2, 0.0)
+
     rowmax = jnp.max(sm, axis=-1)
     argl = jnp.min(
         jnp.where(sm == rowmax[:, None], lane, LANE), axis=-1
     )                                                  # first max, as argmax
     onehot = lane == argl[:, None]
-    pick = lambda A: jnp.sum(jnp.where(onehot, A, 0.0), axis=-1)
+    # ONE masked reduction for all three plateau-center picks
+    picks = jnp.sum(jnp.where(onehot[None], PRc, 0.0), axis=-1)  # (3, r)
 
     # ONE packed (6, rpt) f32 output block, not six (1, rpt) arrays: a
     # (1, rows) 2-D pallas output read directly by downstream jitted code
@@ -206,9 +230,9 @@ def _kernel(L: int, W: int, c: int, rpt: int,
         [
             rowmax,
             argl.astype(jnp.float32),
-            pick(PRc[0]),
-            pick(PRc[1]),
-            pick(PRc[2]),
+            picks[0],
+            picks[1],
+            picks[2],
             jnp.max(r2m, axis=-1),
         ]
     )
@@ -220,22 +244,23 @@ def _kernel(L: int, W: int, c: int, rpt: int,
     # inference); bit-exactness vs cs[., r-1, LANE-1] is not required --
     # any O(ulp) total mismatch is a fixed tiny offset on next-tile head
     # sums, bounded by the same per-tile analysis (module doc).
-    tot4 = jnp.sum(streams.reshape(4, r * LANE), axis=1, keepdims=True)
+    tot3 = jnp.sum(streams.reshape(3, r * LANE), axis=1, keepdims=True)
     totm = jnp.sum(M.reshape(1, r * LANE), axis=1, keepdims=True)
     in_ring[...] = jnp.stack([a_re, a_im])[:, r - (qL + 1) :, :].reshape(
         2 * (qL + 1), LANE
     )
-    cs_ring[...] = (cs[:, r - (qL + 1) :, :] - tot4[:, :, None]).reshape(
-        4 * (qL + 1), LANE
+    cs_ring[...] = (cs[:, r - (qL + 1) :, :] - tot3[:, :, None]).reshape(
+        3 * (qL + 1), LANE
     )
     cm_ring[...] = (cm[:, r - (qW + 1) :, :] - totm[:, :, None]).reshape(
         qW + 1, LANE
     )
-    pr_ring[...] = PR[:, r - (qc + 1) :, :].reshape(3 * (qc + 1), LANE)
+    pr_ring[...] = PR[:, r - (qL + 1) :, :].reshape(3 * (qL + 1), LANE)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "W", "c", "rpt"))
-def _sc_detect_pallas(re, im, L: int, W: int, c: int, rpt: int):
+@functools.partial(jax.jit,
+                   static_argnames=("L", "W", "c", "rpt", "nv"))
+def _sc_detect_pallas(re, im, L: int, W: int, c: int, rpt: int, nv: int):
     """re/im: (B, rows, 128) f32 with rows % rpt == 0."""
     b, rows, _ = re.shape
     assert rows % rpt == 0, (rows, rpt)
@@ -245,6 +270,9 @@ def _sc_detect_pallas(re, im, L: int, W: int, c: int, rpt: int):
     # several tiles (a full-dim block may be any 8-multiple)
     assert rpt % 8 == 0, rpt
     assert rows == rpt or rpt % LANE == 0, (rows, rpt)
+    # the tie-break ramp folds the 2^16 wrap into a per-tile scalar, which
+    # is only exact while one tile never spans a wrap boundary internally
+    assert rpt * LANE <= (1 << 16), rpt
     in_spec = pl.BlockSpec(
         (1, rpt, LANE), lambda ib, it: (ib, it, 0), memory_space=pltpu.VMEM
     )
@@ -252,16 +280,16 @@ def _sc_detect_pallas(re, im, L: int, W: int, c: int, rpt: int):
         (1, 6, rpt), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_kernel, L, W, c, rpt),
+        functools.partial(_kernel, L, W, c, rpt, nv),
         grid=(b, rows // rpt),
         in_specs=[in_spec, in_spec],
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, 6, rows), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((2 * (qL + 1), LANE), jnp.float32),
-            pltpu.VMEM((4 * (qL + 1), LANE), jnp.float32),
+            pltpu.VMEM((3 * (qL + 1), LANE), jnp.float32),
             pltpu.VMEM((qW + 1, LANE), jnp.float32),
-            pltpu.VMEM((3 * (qc + 1), LANE), jnp.float32),
+            pltpu.VMEM((3 * (qL + 1), LANE), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -291,13 +319,15 @@ def sc_detect_rows(r: jnp.ndarray, L: int, cp: int):
     # bounds L-sum cancellation error by the 32k-sample tile, not n (module
     # doc, Precision paragraph)
     rows = -(-n // LANE)
-    # Tile selection: a batch row that fits one tile (<= 2*_ROWS_PER_TILE)
-    # runs grid (b, 1) with rpt = rows rounded to the 8-sublane tile -- ZERO
-    # padded work (the wideband RX feeds 64 channels of ~288 rows each;
-    # padding every channel to 512 rows cost 44% of the kernel, measured
-    # 2026-08-19).  Longer rows tile at _ROWS_PER_TILE, padding <= 255 rows.
+    # Tile selection: a batch row that fits one tile (the 2^16-sample
+    # tie-break wrap bound, = _ROWS_PER_TILE rows) runs grid (b, 1) with
+    # rpt = rows rounded to the 8-sublane tile -- ZERO padded work (the
+    # wideband RX feeds 64 channels of ~288 rows each; padding every
+    # channel to the full tile cost 44% of the kernel, measured
+    # 2026-08-19).  Longer rows tile at _ROWS_PER_TILE, padding the tail
+    # tile only (<= rpt-1 rows, negligible at streaming block sizes).
     rows8 = -(-rows // 8) * 8
-    if rows8 <= 2 * _ROWS_PER_TILE:
+    if rows8 * LANE <= (1 << 16):
         rpt = rows8
         rows_p = rows8
     else:
@@ -306,7 +336,7 @@ def sc_detect_rows(r: jnp.ndarray, L: int, cp: int):
     pad = rows_p * LANE - n
     re = jnp.pad(re, ((0, 0), (0, pad))).reshape(b, rows_p, LANE)
     im = jnp.pad(im, ((0, 0), (0, pad))).reshape(b, rows_p, LANE)
-    (packed,) = _sc_detect_pallas(re, im, L, W, c, rpt)
+    (packed,) = _sc_detect_pallas(re, im, L, W, c, rpt, n)
     out = lambda i: packed[:, i, :rows].reshape(*lead, rows)
     # global argmax position in int32 from the kernel's row-relative lane
     # index (exact for any block length; f32 would cap blocks at 2^24)
