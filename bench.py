@@ -10,8 +10,8 @@ bench/, milestone M6-M7).
 
 Method: steady-state samples/s of the full jitted RX chain (Schmidl-Cox
 sync -> CFO derotate -> FFT demod -> chanest -> equalize -> demap -> CRC)
-over a continuous stream of 2^22-sample blocks carrying 56 real frames per
-block (burst traffic within the 64-frame-slot capacity).  Every injected
+over a continuous stream of 2^25-sample blocks carrying 448 real frames per
+block (burst traffic within the 480-frame-slot capacity).  Every injected
 frame must be detected AND demodulated with a valid header -- the count is
 asserted, so the number cannot be inflated by dropping work (the r1 bench
 only asserted n_frames > 0).  Blocks are pre-staged on device because the

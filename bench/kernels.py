@@ -116,11 +116,20 @@ def bench_sync(report: Report, membw: float):
         kernel="detect_frames", n=n, sec=sec, msamp_s=n / sec / 1e6,
     )
 
+    # DEMOTED: standalone moving_sum no longer sits on any shipped hot path
+    # -- every production sliding window is fused into its consumer kernel
+    # (sc_detect banded windows, sc_metric, psd) -- so its cumsum+lead-lag
+    # formulation (one extra materialized pass, ~25% membw at the 8B/sample
+    # accounting) is retained only as the CPU-fallback/utility form
+    # (ops.sync fallbacks, stream.block moving_average).
     sec = bench(lambda a: ksync.moving_sum(a, 32), (np.abs(_noise((n, ), 4)).astype(np.float32),))
     bytes_ = n * (F32 * 2)
     report.add(
-        kernel="moving_sum_w32", n=n, sec=sec, msamp_s=n / sec / 1e6,
+        kernel="moving_sum_w32_fallback_util", n=n, sec=sec,
+        msamp_s=n / sec / 1e6,
         gbps=bytes_ / sec / 1e9, frac_membw=bytes_ / sec / 1e9 / membw,
+        note="superseded on hot paths by fused windows in sc_detect/"
+             "sc_metric/psd; utility+fallback only",
     )
 
 

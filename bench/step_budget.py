@@ -1,0 +1,133 @@
+"""Decompose the headline RX step into stage budgets (JSON artifact).
+
+VERDICT r4 missing #2: the kernel artifact measured the detect kernel but
+nothing after it, so the headline's remainder had to be rediscovered every
+round from scratch probes.  This harness times each stage of the SHIPPING
+step (modem.rx.rx_block via rx_stream_block) at the production shape --
+2^25-sample blocks + history, K=480 frame slots -- and writes rows whose
+reciprocal throughputs must add up to the full step within ~10%:
+
+  sc_detect_rows      the fused Pallas detection kernel alone
+  detect_frames       kernel + candidate selection (NMS/threshold/top_k on
+                      the 128x-smaller row arrays) -- delta vs the kernel
+                      row IS the selection cost
+  slot_gather_rotate  per-slot dynamic_slice window gather + CFO derotate,
+                      vmapped over all K slots
+  slot_demod          gather + derotate + demod_frame (FFT, int-CFO search,
+                      LS chanest, equalizer, demap, header/CRC) -- delta vs
+                      slot_gather_rotate is the demod math proper
+  rx_block_step       the full production step (everything above fused in
+                      one program, plus ownership masking)
+
+Every row is measured with bench/util.bench, whose per-iteration
+perturb-and-reduce machinery costs ~1.4 ms at this input size (it rewrites
+the 2^25-sample carry each iteration); that overhead rides identically in
+EVERY row, so a `harness_overhead` row measures it on a no-op and each
+stage reports `net_sec` = sec - overhead.  The sanity row `budget_check`
+sums the net stage times against the net full step.  Timing content is
+noise (stage cost is static-shape-driven; slots demodulate whether or not
+a frame is present).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from bench.util import Report, bench
+from tpu_ofdm.config import OfdmConfig
+from tpu_ofdm.kernels.sc_detect import sc_detect_rows
+from tpu_ofdm.modem.rx import demod_frame, rx_block
+from tpu_ofdm.modem.rx_stream import history_len
+from tpu_ofdm.ops import sync
+from tpu_ofdm.ops.sync import derotate
+
+
+def main():
+    report = Report("step_budget")
+    print(f"# backend={jax.default_backend()} device={jax.devices()[0]}")
+
+    spec = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk").spec
+    S = 1 << 25
+    H = history_len(spec)
+    K = 480
+    n = S + H
+    L = spec.fft_len // 2
+    F = spec.max_frame_len
+    rng = np.random.RandomState(0)
+    x = (rng.randn(n) + 1j * rng.randn(n)).astype(np.complex64) * 0.1
+    starts = np.linspace(100, S - F - 1, K).astype(np.int32)
+    cfos = (rng.randn(K) * 0.05).astype(np.float32)
+    reps = 8
+
+    # per-iteration cost of the bench harness itself (perturb + reduce of
+    # the (2, n) f32 carry): measured on a no-op and subtracted from every
+    # stage so net times are additive
+    overhead = bench(lambda a: a[:128], (x,), reps=reps)
+
+    def row(kernel, sec, **extra):
+        net = sec - overhead
+        report.add(kernel=kernel, n=S, K=K, sec=sec,
+                   net_sec=round(net, 6), msamp_s=S / net / 1e6, **extra)
+        return net
+
+    report.add(kernel="harness_overhead", n=S, sec=overhead)
+
+    t_detect_k = row(
+        "sc_detect_rows",
+        bench(lambda a: sc_detect_rows(a, L, spec.cp_len), (x,), reps=reps),
+    )
+    t_detect = row(
+        "detect_frames",
+        bench(lambda a: sync.detect_frames(spec, a, K), (x,), reps=reps),
+        selection_sec=None,  # patched below once measured
+    )
+    report.rows[-1]["selection_sec"] = round(t_detect - t_detect_k, 6)
+
+    def gather_rotate(a, st, cf):
+        def one(s0, c0):
+            win = jax.lax.dynamic_slice(a, (s0,), (F,))
+            return derotate(win, c0, spec.fft_len)
+        return jax.vmap(one)(st, cf)
+
+    t_gather = row(
+        "slot_gather_rotate",
+        bench(gather_rotate, (x, starts, cfos), reps=reps),
+    )
+
+    def full_demod(a, st, cf):
+        def one(s0, c0):
+            win = jax.lax.dynamic_slice(a, (s0,), (F,))
+            win = derotate(win, c0, spec.fft_len)
+            return demod_frame(spec, win)
+        return jax.vmap(one)(st, cf)
+
+    t_demod = row(
+        "slot_demod",
+        bench(full_demod, (x, starts, cfos), reps=reps),
+        demod_only_sec=None,
+    )
+    report.rows[-1]["demod_only_sec"] = round(t_demod - t_gather, 6)
+
+    t_full = row(
+        "rx_block_step",
+        bench(lambda a: rx_block(spec, a, K, own_lo=0, own_hi=S), (x,),
+              reps=reps),
+    )
+
+    stage_sum = t_detect + t_demod
+    report.add(
+        kernel="budget_check",
+        n=S,
+        stage_sum_sec=round(stage_sum, 6),
+        full_step_sec=round(t_full, 6),
+        stages_over_full=round(stage_sum / t_full, 4),
+        note="net detect_frames + net slot_demod vs net rx_block_step; "
+             "a ratio near 1.0 means the artifact explains the whole step",
+    )
+    report.save()
+
+
+if __name__ == "__main__":
+    main()

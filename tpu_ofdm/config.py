@@ -60,6 +60,12 @@ class OfdmConfig:
     def __post_init__(self):
         if not 0 <= self.rolloff_len <= self.cp_len:
             raise ValueError("rolloff_len must be in [0, cp_len]")
+        # cp_len < fft_len keeps the detect kernel's plateau-center lag
+        # c = cp - cp//2 within its L-row lookback ring (kernels/sc_detect.py
+        # assumes c <= L = fft_len/2; ADVICE r4) -- and a CP as long as the
+        # symbol itself is not a meaningful OFDM configuration anyway.
+        if not 0 <= self.cp_len < self.fft_len:
+            raise ValueError("cp_len must be in [0, fft_len)")
         if self.occupied_carriers is None:
             object.__setattr__(
                 self, "occupied_carriers", default_occupied_carriers(self.fft_len)

@@ -7,8 +7,10 @@ unverified paths): commutator load, J-tap FIR arm MACs, and the cross-arm
 N-point IDFT -- at 16 bytes/sample of HBM traffic (two f32 planes in, two
 out).  The unfused XLA formulation (spectrum.channelizer.channelize_ext)
 re-reads the input through the shifted-MAC ladder and round-trips the arm
-outputs to HBM before the IFFT matmul; measured on the bench chip at 2^25
-samples: 2.3 Gsamp/s unfused vs 7.0 Gsamp/s fused (111 GB/s).
+outputs to HBM before the IFFT matmul; measured numbers live in
+bench/results_kernels_tpu.json (rows channelize_stream{64,256,512} vs the
+demoted pfb_channelizer64_unfused_xla row) so docstrings cannot drift from
+the artifact.
 
 Mapping (n_chan = N <= 128, 128 % N == 0, P = 128/N channel groups/row):
 

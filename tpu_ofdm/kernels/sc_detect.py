@@ -2,46 +2,55 @@
 
 ONE pass over the sample stream computes everything frame detection needs,
 at 8 bytes/sample of HBM traffic (the two f32 input planes) plus ~0.2
-bytes/sample of per-row summaries -- where the r1 pipeline (sc_metric kernel
-+ XLA smoothing/NMS/top-k passes) moved ~32 bytes/sample over 4+ passes.
-This is the TPU replacement for the hot half of the reference's
-ofdm_sync_sc_cfb + plateau_detector_fb stack (SURVEY.md §2b/§3.3,
-gr-digital/lib/ofdm_sync_sc_cfb_impl.cc, unverified path); the cheap
-selection over the 128x-smaller row arrays lives in ops.sync.
+bytes/sample of per-row summaries.  This is the TPU replacement for the hot
+half of the reference's ofdm_sync_sc_cfb + plateau_detector_fb stack
+(SURVEY.md §2b/§3.3, gr-digital/lib/ofdm_sync_sc_cfb_impl.cc, unverified
+path); the cheap selection over the 128x-smaller row arrays lives in
+ops.sync.
 
-Per (rpt, 128)-row tile, marching sequentially down the time axis:
-  * the input is read ONCE; the L-lagged view x[v-L] is reconstructed from a
-    small VMEM ring of the previous tile's rows (no second HBM read),
-  * prod = conj(x[v-L]) x[v], e2 = |x[v]|^2 (no e1 stream: the first-half
-    energy is the second-half energy L samples earlier, R1(t) = R2(t-L),
-    served by lagging R2 through a small ring of its previous-tile rows),
-  * TILE-LOCAL prefix sums of the three streams via one MXU matmul against
-    a triangular ones matrix (the kernels/scan.py trick),
-  * length-L trailing sums as cs[t] - cs[t-L] with the lag served from a
-    VMEM ring of REBASED previous-tile values (prev local prefix minus the
-    prev tile total, so the cross-tile difference is exact in the same
-    basis) -> P(t), R2(t),
+The kernel is NOT memory-bound: at 8 B/sample its HBM time is a small
+fraction of the step, and an in-kernel ablation (bench/step_budget.py,
+measured 2026-08-21 on TPU v5 lite) showed the r2-r4 design spent most of
+its time in f32-HIGHEST prefix matmuls (6 MXU passes each) and the VPU
+lag/rebase plumbing around them.  This version therefore computes every
+sliding window DIRECTLY as a banded matmul:
+
+  * per (rpt, 128)-row tile, marching sequentially down the time axis, the
+    input is read ONCE; the L-lagged view x[v-L] comes from a small VMEM
+    ring of the previous tile's rows (no second HBM read),
+  * the three product streams prod = conj(x[v-L]) x[v] (re, im) and
+    e2 = |x[v]|^2 are formed on the VPU,
+  * every trailing window sum -- P(t) (width L), R2(t) (width L),
+    R1(t) = R2(t-L) (width L at lag L), and the CP-boxcar sm(t) (width
+    W = cp+1 over the metric M) -- is ONE banded MXU matmul per source:
+    out[r, l] = sum_{k,j} src[r-k, j] * B_k[j, l] with 0/1 band matrices
+    B_k[j, l] = [d <= l + 128k - j < d + w] stacked along the contraction
+    axis for all row shifts k; the shifted row planes come from small VMEM
+    rings of the last ceil((d+w-1)/128) source rows,
+  * precision: each f32 source is split hi/lo into TWO bf16 planes
+    (s = hi + lo + eps, |eps| <= 2^-17 |s|); the 0/1 bands are exact in
+    bf16, so a window sum's error is ~sqrt(w) * 2^-17 of one element, i.e.
+    ~1e-6 relative -- BETTER conditioned than the r2-r4 tile-rebased f32
+    prefix differences (~6e-5), because nothing large is ever cancelled.
+    Both bf16 split planes ride one matmul: the band stack is tiled
+    vertically per split, accumulation is f32 in the MXU,
   * two-sided metric M = |P|^2 / (R1 R2) (ops.sync._metric2 semantics),
-  * prefix sum of M + a W = cp+1 lag ring -> CP-boxcar smoothed sm(t),
-    plus the deterministic tie-break ramp,
-  * per-row (128-sample) reductions: max of sm, its global position, P and
-    R2 at position t* - (cp - cp//2) (the plateau center, where the fine
-    CFO is read), and the row max of R2 for the energy gate.
-
-Precision: because every prefix sum is rebased per tile, the cancellation
-error of a trailing L-sum is bounded by the TILE length (rpt * 128 = 32k
-samples of O(E) energy -> f32 ulp ~ 2^-8 E, i.e. ~3e-5 relative to an
-L=128 sum), independent of block length -- an unrebased carry would lose
-~0.25 E absolute at 2^22 samples.  Position exactness (< 2^24) is asserted
-separately in sc_detect_rows.
+    then sm = banded boxcar of M, plus the deterministic tie-break ramp
+    (t & 0xFFFF computed elementwise, so tiles may span the 2^16 wrap),
+  * per-row (128-sample) reductions: max of sm, its position, P and R2 at
+    position t* - (cp - cp//2) (the plateau center, where the fine CFO is
+    read -- served by lagging the window arrays through a 2-row ring), and
+    the row max of R2 for the energy gate.
 
 Indexing: everything is trailing-window at stream position t (= v); the
 valid-mode arrays of the jnp fallback sit at t = d + 2L - 1.  Head of
 stream: positions t < 2L + W - 2 (partial windows) are masked to the
 tie-break ramp alone, so a partial-window value can never capture a row's
 candidate (the jnp fallback pads them to -inf; both fail the selection's
-threshold + ps-range checks identically).  ops.sync's _select_from_rows
-consumes both paths identically.
+threshold + ps-range checks identically).  Positions ride as int32
+(row-relative lane index in the packed output, globalized by the wrapper);
+the block bound n < 2^30 is asserted in sc_detect_rows.  ops.sync's
+_select_from_rows consumes both paths identically.
 
 All lookback rings are kept 2-D: Mosaic SIGABRTs lowering read-modify-write
 of 3-D VMEM scratch (measured 2026-08-18, kernels/sc_metric.py).
@@ -51,13 +60,16 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-_ROWS_PER_TILE = 512
+_ROWS_PER_TILE = 1024  # 128k-sample tiles (tie-break wrap handled in-kernel)
+_NSPLIT = 2  # bf16 planes per f32 source (see Precision in module doc)
 
 
 def _lagged(cur, prev, q: int, s: int):
@@ -87,63 +99,67 @@ def _lagged(cur, prev, q: int, s: int):
     return jnp.where(lane >= s, rot(down(q)), rot(down(q + 1)))
 
 
-def _prefix(streams):
-    """Within-tile (tile-LOCAL) prefix sums of (k, R, LANE) streams.
-    One MXU matmul against a triangular ones matrix for the lane prefix and
-    a tiny second one for the row offsets.  Cross-tile continuity is NOT a
-    running carry (which would grow with block length and eat f32 mantissa,
-    see module doc): the caller rebases lagged values from the previous tile
-    instead."""
-    k, r, _ = streams.shape
-    jj = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-    ll = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-    tri = (jj <= ll).astype(jnp.float32)
-    y = jax.lax.dot_general(
-        streams.reshape(k * r, LANE), tri,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    ).reshape(k, r, LANE)
-    rowtot = y[:, :, LANE - 1]
-    rr = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0)
-    cc = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1)
-    strict = (rr < cc).astype(jnp.float32)
-    off = jax.lax.dot_general(
-        rowtot, strict,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
-    return y + off[:, :, None]
+def _ks_for(windows) -> list[int]:
+    """Row shifts k with any nonzero band across `windows` = [(w, d), ...]:
+    the deepest sample a window reaches is d + w - 1 lanes back."""
+    kmax = max(-(-(d + w - 1) // LANE) for w, d in windows)
+    return list(range(kmax + 1))
+
+
+def _band_rhs(windows, ks) -> np.ndarray:
+    """(len(ks)*LANE, len(windows)*LANE) f32 stack of 0/1 band matrices:
+    rows are contraction blocks per shift k (source row r-k), columns are
+    output blocks per window (w, d); B_k[j, l] = [d <= l + 128k - j < d+w],
+    i.e. source position t - (l + 128k - j) falls inside the trailing
+    window [t-d-w+1, t-d]."""
+    out = np.zeros((len(ks) * LANE, len(windows) * LANE), np.float32)
+    j = np.arange(LANE)[:, None]
+    l = np.arange(LANE)[None, :]
+    for wi, (w, d) in enumerate(windows):
+        for ki, k in enumerate(ks):
+            delta = l + LANE * k - j
+            out[ki * LANE : (ki + 1) * LANE,
+                wi * LANE : (wi + 1) * LANE] = (
+                (delta >= d) & (delta < d + w)
+            )
+    return out
+
+
+def _split_bf16(x, n: int):
+    """x (f32) -> n bf16 planes summing to x up to ~2^-(9n) relative."""
+    outs = []
+    rem = x
+    for _ in range(n - 1):
+        h = rem.astype(jnp.bfloat16)
+        outs.append(h)
+        rem = rem - h.astype(jnp.float32)
+    outs.append(rem.astype(jnp.bfloat16))
+    return outs
 
 
 def _kernel(L: int, W: int, c: int, rpt: int, nv: int,
-            xre, xim,
+            xre, xim, rhs_p, rhs_e, rhs_m,
             rows_o,
-            in_ring, cs_ring, cm_ring, pr_ring):
-    """Rings hold the last q+1 rows of [input re/im], [3 REBASED prefix
-    streams], [REBASED M prefix], and [P_re, P_im, R2] respectively, each
-    flattened to 2-D (Mosaic SIGABRTs on 3-D VMEM scratch RMW, see module
-    doc).  "Rebased" = previous tile's local prefix minus that tile's total,
-    so S = cs_local[t] - ring[t - L] is the exact global trailing sum in the
-    current tile's basis (module doc, Precision).
-
-    Only THREE streams ride the prefix path: the first-half energy window is
-    the second-half one L samples earlier (R1[t] = R2[t-L] -- both are
-    sum |x[u]|^2 over L consecutive u ending at t-L resp. t), so e1 is not
-    computed at all; R1 is served by lagging R2 through the pr_ring, whose
-    depth is qL+1 rows (covers lag L, and a fortiori the plateau lag c)."""
+            in_ring, s_ring, m_ring, w_ring):
+    """Rings hold the last rows of [input re/im] (for the L-lag of x),
+    [the 3 f32 product streams] (for banded row shifts), [M] (for the sm
+    band), and [P_re, P_im, R2 window arrays] (for the plateau-center lag),
+    each flattened to 2-D (Mosaic SIGABRTs on 3-D VMEM scratch RMW, see
+    module doc)."""
     it = pl.program_id(1)
-    qL, sL = L // LANE, L % LANE
-    qW, sW = W // LANE, W % LANE
-    qc, sc = c // LANE, c % LANE
+    qL, sL = divmod(L, LANE)
+    qc, sc_ = divmod(c, LANE)
+    ks_e = _ks_for([(L, 0), (L, L)])
+    k1 = max(ks_e)                      # source-ring depth (>= P's kmax)
+    ks_m = _ks_for([(W, 0)])
+    km = max(1, *ks_m)                  # ring depth >= 1 (W=1 edge case)
 
     @pl.when(it == 0)
     def _():
         in_ring[...] = jnp.zeros(in_ring.shape, in_ring.dtype)
-        cs_ring[...] = jnp.zeros(cs_ring.shape, cs_ring.dtype)
-        cm_ring[...] = jnp.zeros(cm_ring.shape, cm_ring.dtype)
-        pr_ring[...] = jnp.zeros(pr_ring.shape, pr_ring.dtype)
+        s_ring[...] = jnp.zeros(s_ring.shape, s_ring.dtype)
+        m_ring[...] = jnp.zeros(m_ring.shape, m_ring.dtype)
+        w_ring[...] = jnp.zeros(w_ring.shape, w_ring.dtype)
 
     a_re, a_im = xre[0], xim[0]                      # (R, 128)
     r = a_re.shape[0]
@@ -152,19 +168,38 @@ def _kernel(L: int, W: int, c: int, rpt: int, nv: int,
     l_re = _lagged(a_re, prev_in[0], qL, sL)         # x[v-L]
     l_im = _lagged(a_im, prev_in[1], qL, sL)
 
-    streams = jnp.stack(
-        [
-            l_re * a_re + l_im * a_im,               # Re conj(x[v-L]) x[v]
-            l_re * a_im - l_im * a_re,               # Im
-            a_re * a_re + a_im * a_im,               # e2
-        ]
-    )                                                 # (3, R, 128)
-    cs = _prefix(streams)                             # tile-local prefixes
-    csl = _lagged(cs, cs_ring[...].reshape(3, qL + 1, LANE), qL, sL)
-    S = cs - csl                                      # trailing L-sums at t
-    p_re, p_im, r2 = S[0], S[1], S[2]
-    prev_pr = pr_ring[...].reshape(3, qL + 1, LANE)
-    r1 = _lagged(r2, prev_pr[2], qL, sL)             # R1[t] = R2[t-L]
+    pre_s = l_re * a_re + l_im * a_im                # Re conj(x[v-L]) x[v]
+    pim_s = l_re * a_im - l_im * a_re                # Im
+    e2_s = a_re * a_re + a_im * a_im                 # |x[v]|^2
+
+    def windows_of(cur, prev, ks, rhs, kdepth):
+        """All trailing-window sums of one f32 source in ONE bf16 matmul.
+        prev: (kdepth, LANE) f32 = the last kdepth rows before this tile."""
+        cur_sp = _split_bf16(cur, _NSPLIT)
+        prev_sp = _split_bf16(prev, _NSPLIT)
+        planes = []
+        for si in range(_NSPLIT):
+            for k in ks:
+                if k == 0:
+                    planes.append(cur_sp[si])
+                else:
+                    planes.append(jnp.concatenate(
+                        [prev_sp[si][kdepth - k :, :],
+                         cur_sp[si][: r - k, :]], axis=0))
+        lhs = jnp.concatenate(planes, axis=1)
+        return jax.lax.dot_general(
+            lhs, rhs[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    prev_s = s_ring[...].reshape(3, k1, LANE)
+    ks_p = _ks_for([(L, 0)])
+    p_re = windows_of(pre_s, prev_s[0], ks_p, rhs_p, k1)   # (R, 128)
+    p_im = windows_of(pim_s, prev_s[1], ks_p, rhs_p, k1)
+    y_e = windows_of(e2_s, prev_s[2], ks_e, rhs_e, k1)     # (R, 256)
+    r2 = y_e[:, :LANE]
+    r1 = y_e[:, LANE:]                                     # R1[t] = R2[t-L]
 
     # two-sided normalized metric (ops.sync._metric2 semantics)
     p2 = p_re * p_re + p_im * p_im
@@ -173,41 +208,30 @@ def _kernel(L: int, W: int, c: int, rpt: int, nv: int,
         den > 0.0, jnp.minimum(p2 / jnp.maximum(den, 1e-12), 2.0), 0.0
     )
 
-    cm = _prefix(M[None])                             # (1, R, 128)
-    cml = _lagged(cm, cm_ring[...].reshape(1, qW + 1, LANE), qW, sW)
-    sm = (cm - cml)[0] * (1.0 / W)
+    sm = windows_of(M, m_ring[...], ks_m, rhs_m, km) * (1.0 / W)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, LANE), 1)
     t_loc = jax.lax.broadcasted_iota(
         jnp.int32, (r, LANE), 0
     ) * LANE + lane                                   # tile-local position
 
-    # head of stream: positions t < 2L + W - 2 (etc.) have only partial
-    # windows and must be masked to match the jnp fallback.  All thresholds
-    # are < one tile (2L + W <= 2*512 + 129 << rpt*LANE), so for every tile
-    # but the first the masks are all-true: compare against a scalar that
-    # goes negative from tile 1 on, and XLA's VPU predication makes the
-    # always-true lanes free of data movement.
-    # ... and the zero-padded TAIL (positions t >= nv, the true sample
-    # count): sm there still holds real window content decaying over W
-    # samples, which could capture a ragged last row's candidate away from
-    # a genuine in-range peak (the jnp fallback pads those positions to
-    # -inf; selection's ps-range check would drop the candidate, losing
-    # the row).  Both bounds are tile-local scalar compares.
+    # head of stream: positions t < 2L + W - 2 (partial windows) are masked
+    # to match the jnp fallback; the zero-padded TAIL (t >= nv) is masked so
+    # a decaying window cannot capture a ragged last row's candidate.  Both
+    # are tile-local scalar compares (all-true except first/last tiles).
     base = it * (rpt * LANE)                          # scalar, SREG
     sm = jnp.where(
         (t_loc >= 2 * L + W - 2 - base) & (t_loc < nv - base), sm, 0.0
     )
-    # deterministic tie-break ramp (ops.sync._tiebreak): t & 0xFFFF with
-    # t = t_loc + it*rpt*LANE; since rpt*LANE is a multiple of 2^15 and
-    # 0x10000 = 2 tiles at rpt=256, the wrap reduces to a scalar offset
-    base16 = base & 0xFFFF                            # scalar
-    sm = sm + (t_loc + base16).astype(jnp.float32) * 1e-7
+    # deterministic tie-break ramp (ops.sync._tiebreak): (t & 0xFFFF)*1e-7
+    # computed elementwise, so a tile may span the 2^16 wrap (any rpt)
+    t16 = (t_loc + (base & 0xFFFF)) & 0xFFFF
+    sm = sm + t16.astype(jnp.float32) * 1e-7
 
-    # P / R2 at the plateau center t - c; the ring covers lag L >= c, so
-    # slice its trailing qc+1 rows for the shorter lag
+    # P / R2 at the plateau center t - c, via a lag of the window arrays
+    # served from a small ring of their previous-tile rows
     PR = jnp.stack([p_re, p_im, r2])
-    PRc = _lagged(PR, prev_pr[:, qL - qc:, :], qc, sc)
+    PRc = _lagged(PR, w_ring[...].reshape(3, qc + 1, LANE), qc, sc_)
     PRc = jnp.where(t_loc[None] >= 2 * L - 1 + c - base, PRc, 0.0)
     r2m = jnp.where(t_loc >= 2 * L - 1 - base, r2, 0.0)
 
@@ -224,8 +248,7 @@ def _kernel(L: int, W: int, c: int, rpt: int, nv: int,
     # came back with a mismatched layout on this backend (values correct
     # after a host round-trip, garbage when consumed on device; 2026-08-19).
     # The argmax rides as the ROW-RELATIVE lane index (0..127, always exact
-    # in f32); the wrapper reconstructs the global position in int32, so
-    # block length is bounded by int32 range, not f32 mantissa.
+    # in f32); the wrapper reconstructs the global position in int32.
     rows_o[0] = jnp.stack(
         [
             rowmax,
@@ -238,24 +261,15 @@ def _kernel(L: int, W: int, c: int, rpt: int, nv: int,
     )
 
     # 2-D slice stores: a 1-D concatenate here SIGABRTs Mosaic
-    # ("offsets_[0] < tiling_[0]", bisected 2026-08-19).  The prefix rings
-    # store REBASED tails (local prefix minus tile total, via a standard
-    # reduce rather than a last-lane slice, which trips Mosaic layout
-    # inference); bit-exactness vs cs[., r-1, LANE-1] is not required --
-    # any O(ulp) total mismatch is a fixed tiny offset on next-tile head
-    # sums, bounded by the same per-tile analysis (module doc).
-    tot3 = jnp.sum(streams.reshape(3, r * LANE), axis=1, keepdims=True)
-    totm = jnp.sum(M.reshape(1, r * LANE), axis=1, keepdims=True)
+    # ("offsets_[0] < tiling_[0]", bisected 2026-08-19)
     in_ring[...] = jnp.stack([a_re, a_im])[:, r - (qL + 1) :, :].reshape(
         2 * (qL + 1), LANE
     )
-    cs_ring[...] = (cs[:, r - (qL + 1) :, :] - tot3[:, :, None]).reshape(
-        3 * (qL + 1), LANE
+    s_ring[...] = jnp.stack([pre_s, pim_s, e2_s])[:, r - k1 :, :].reshape(
+        3 * k1, LANE
     )
-    cm_ring[...] = (cm[:, r - (qW + 1) :, :] - totm[:, :, None]).reshape(
-        qW + 1, LANE
-    )
-    pr_ring[...] = PR[:, r - (qL + 1) :, :].reshape(3 * (qL + 1), LANE)
+    m_ring[...] = M[r - km :, :]
+    w_ring[...] = PR[:, r - (qc + 1) :, :].reshape(3 * (qc + 1), LANE)
 
 
 @functools.partial(jax.jit,
@@ -264,37 +278,49 @@ def _sc_detect_pallas(re, im, L: int, W: int, c: int, rpt: int, nv: int):
     """re/im: (B, rows, 128) f32 with rows % rpt == 0."""
     b, rows, _ = re.shape
     assert rows % rpt == 0, (rows, rpt)
-    qL, qW, qc = L // LANE, W // LANE, c // LANE
-    # sublane (input) tiling needs 8-alignment; the packed OUTPUT's lane dim
-    # is tiled by rpt, which must be 128-aligned ONLY when a batch row spans
-    # several tiles (a full-dim block may be any 8-multiple)
-    assert rpt % 8 == 0, rpt
+    qL, qc = L // LANE, c // LANE
+    # bf16 source planes need 16-sublane tiling; the packed OUTPUT's lane
+    # dim is tiled by rpt, which must be 128-aligned ONLY when a batch row
+    # spans several tiles (a full-dim block may be any 16-multiple)
+    assert rpt % 16 == 0, rpt
     assert rows == rpt or rpt % LANE == 0, (rows, rpt)
-    # the tie-break ramp folds the 2^16 wrap into a per-tile scalar, which
-    # is only exact while one tile never spans a wrap boundary internally
-    assert rpt * LANE <= (1 << 16), rpt
+    ks_e = _ks_for([(L, 0), (L, L)])
+    k1 = max(ks_e)
+    ks_m = _ks_for([(W, 0)])
+    km = max(1, *ks_m)
+    rhs_p = np.tile(_band_rhs([(L, 0)], _ks_for([(L, 0)])), (_NSPLIT, 1))
+    rhs_e = np.tile(_band_rhs([(L, 0), (L, L)], ks_e), (_NSPLIT, 1))
+    rhs_m = np.tile(_band_rhs([(W, 0)], ks_m), (_NSPLIT, 1))
     in_spec = pl.BlockSpec(
         (1, rpt, LANE), lambda ib, it: (ib, it, 0), memory_space=pltpu.VMEM
     )
+    rhs_specs = [
+        pl.BlockSpec(t.shape, lambda ib, it: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for t in (rhs_p, rhs_e, rhs_m)
+    ]
     out_spec = pl.BlockSpec(
         (1, 6, rpt), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         functools.partial(_kernel, L, W, c, rpt, nv),
         grid=(b, rows // rpt),
-        in_specs=[in_spec, in_spec],
+        in_specs=[in_spec, in_spec] + rhs_specs,
         out_specs=[out_spec],
         out_shape=[jax.ShapeDtypeStruct((b, 6, rows), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((2 * (qL + 1), LANE), jnp.float32),
-            pltpu.VMEM((3 * (qL + 1), LANE), jnp.float32),
-            pltpu.VMEM((qW + 1, LANE), jnp.float32),
-            pltpu.VMEM((3 * (qL + 1), LANE), jnp.float32),
+            pltpu.VMEM((3 * k1, LANE), jnp.float32),
+            pltpu.VMEM((km, LANE), jnp.float32),
+            pltpu.VMEM((3 * (qc + 1), LANE), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(re, im)
+    )(re, im,
+      jnp.asarray(rhs_p, jnp.bfloat16),
+      jnp.asarray(rhs_e, jnp.bfloat16),
+      jnp.asarray(rhs_m, jnp.bfloat16))
 
 
 def sc_detect_rows(r: jnp.ndarray, L: int, cp: int):
@@ -314,22 +340,24 @@ def sc_detect_rows(r: jnp.ndarray, L: int, cp: int):
     re = jnp.real(rb).astype(jnp.float32)
     im = jnp.imag(rb).astype(jnp.float32)
 
-    assert n < (1 << 31) - LANE, "positions must stay exact in int32"
-    # metric precision needs no companion guard: per-tile carry rebasing
-    # bounds L-sum cancellation error by the 32k-sample tile, not n (module
-    # doc, Precision paragraph)
+    # 2^30, not full int32 range: ops.sync._select_from_rows marks invalid
+    # candidates with the sentinel big = 1 << 30, so a genuine position at
+    # or above it would be classified invalid (ADVICE r4)
+    assert n < (1 << 30), "positions must stay below the selection sentinel"
+    # the plateau-center lag must fit the w_ring lookback (OfdmConfig
+    # validates cp_len < fft_len, which implies this; belt and braces here)
+    assert c <= L, (c, L)
     rows = -(-n // LANE)
-    # Tile selection: a batch row that fits one tile (the 2^16-sample
-    # tie-break wrap bound, = _ROWS_PER_TILE rows) runs grid (b, 1) with
-    # rpt = rows rounded to the 8-sublane tile -- ZERO padded work (the
-    # wideband RX feeds 64 channels of ~288 rows each; padding every
+    # Tile selection: a batch row that fits one tile runs grid (b, 1) with
+    # rpt = rows rounded to the 16-sublane bf16 tile -- ZERO padded work
+    # (the wideband RX feeds 64 channels of ~288 rows each; padding every
     # channel to the full tile cost 44% of the kernel, measured
     # 2026-08-19).  Longer rows tile at _ROWS_PER_TILE, padding the tail
     # tile only (<= rpt-1 rows, negligible at streaming block sizes).
-    rows8 = -(-rows // 8) * 8
-    if rows8 * LANE <= (1 << 16):
-        rpt = rows8
-        rows_p = rows8
+    rows16 = -(-rows // 16) * 16
+    if rows16 <= _ROWS_PER_TILE:
+        rpt = rows16
+        rows_p = rows16
     else:
         rpt = _ROWS_PER_TILE
         rows_p = -(-rows // rpt) * rpt

@@ -75,7 +75,7 @@ def channel_block(
     fft_len: int = 64,
     taps=None,
     phase: float = 0.0,
-    signal_power: float = 1.0,
+    signal_power: float | str = "ofdm",
 ):
     """Streaming channel-model Block (registrable in grc.REGISTRY): the
     block-at-a-time form of channel_model for executor-driven loopback
@@ -89,15 +89,22 @@ def channel_block(
     picks up where the previous block ended, and the FIR multipath sees the
     last len(taps)-1 samples of the previous block.  AWGN here is sized
     against a STATIC `signal_power`, not measured per block, because a
-    block may be mostly inter-frame silence.  NOTE the default of 1.0 is
-    the unit-power-constellation convention; this modem's frames average
-    n_occupied/fft_len (~0.81 for the default 64-FFT config) per frame
-    sample, so pass signal_power=ofdm_signal_power(spec) when the realized
-    per-frame-sample SNR must match snr_db exactly.
+    block may be mostly inter-frame silence.  The default "ofdm" derives it
+    from the default-carrier-map OFDM spec at this fft_len
+    (ofdm_signal_power: n_occupied/fft_len, ~0.81 at 64-FFT), so a loopback
+    graph's realized per-frame-sample SNR equals the requested snr_db
+    (ADVICE r3: the old 1.0 default under-delivered by ~0.9 dB).  Pass an
+    explicit float for non-OFDM sources, custom carrier maps, or a TX scale
+    != 1 (use ofdm_signal_power(spec) for the latter two).
     """
     import numpy as np
 
     from tpu_ofdm.stream.block import Block
+
+    if signal_power == "ofdm":
+        from tpu_ofdm.config import OfdmConfig
+
+        signal_power = ofdm_signal_power(OfdmConfig(fft_len=fft_len).spec)
 
     taps_np = None if taps is None else np.asarray(taps, np.complex64)
     k_hist = 0 if taps_np is None else len(taps_np) - 1

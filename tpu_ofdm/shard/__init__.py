@@ -36,3 +36,8 @@ from tpu_ofdm.shard.distributed import (  # noqa: F401
     psum_tree,
     shard_capture,
 )
+from tpu_ofdm.shard.wideband import (  # noqa: F401
+    mesh_psd_step_fn,
+    sharded_wideband_capture_fn,
+    sharded_wideband_stream_block,
+)
