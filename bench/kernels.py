@@ -63,11 +63,48 @@ def probe_matmul(report: Report, n: int = 4096) -> float:
 
 
 def bench_fft(report: Report, membw: float, mm_tflops: float):
-    """Batched matmul-DFT at OFDM/PSD-relevant sizes."""
+    """Batched matmul-DFT at OFDM/PSD-relevant sizes.
+
+    Protocol (r5): a SELF-CHAINED fori_loop of y = ifft(fft(y)) -- data
+    dependence serializes iterations with ZERO harness passes (the loop
+    carry IS the transform output), so frac_membw is exact, unlike the
+    generic bench() whose perturb/reduce machinery adds up to ~1.5 passes
+    of ambiguity on memory-bound rows.  Each iteration times TWO
+    transforms; sec is per transform.
+
+    Roofline note (measured 2026-08-21, five formulations): fft64 ~0.90 and
+    fft256 ~0.67 of stream-copy are at/near saturation; fft1024/fft4096
+    ~0.43 is STRUCTURAL for natural-order four-step on this chip -- the
+    balanced and 128-biased splits and transpose-free dot_general forms all
+    measured 0.37-0.44, and a fused Pallas four-step must either pay a
+    Z-order->natural reorder pass (bound ~0.50) or fold the reorder into
+    the final matmul at n1 x the MXU flops (bound ~0.37).  The 1024-bin
+    SPECTRUM path does not ride this: it uses the fused PSD kernel."""
+    import time
+
+    import jax.numpy as jnp
+
+    from tpu_ofdm.utils.device_io import maybe_encode, tpu_safe
+
     for batch, n in [(1 << 17, 64), (1 << 15, 256), (1 << 13, 1024),
                      (1 << 11, 4096)]:
         x = _noise((batch, n), seed=n)
-        sec = bench(lambda a: kfft.fft(a), (x,))
+        reps, n_iter, trials = 24, 4, 3
+
+        def repeated(a, _n=n):
+            def body(i, c):
+                return kfft.ifft(kfft.fft(c))
+            y = jax.lax.fori_loop(0, reps, body, a)
+            return jnp.sum(jnp.real(y[:1, :8]))
+
+        jfn = jax.jit(tpu_safe(repeated))
+        d = jax.device_put(maybe_encode(x))
+        jax.device_get(jfn(d))
+        sec = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            jax.device_get([jfn(d) for _ in range(n_iter)])
+            sec = min(sec, (time.perf_counter() - t0) / (n_iter * reps * 2))
         samples = batch * n
         # complex matmul = 4 real matmuls (+ four-step stages for n>256)
         stages = 1 if n <= 256 else 2
@@ -80,6 +117,7 @@ def bench_fft(report: Report, membw: float, mm_tflops: float):
             frac_membw=bytes_ / sec / 1e9 / membw,
             tflops=flops / sec / 1e12,
             frac_mxu=flops / sec / 1e12 / mm_tflops,
+            protocol="self-chained ifft(fft(.)), exact accounting",
         )
 
 

@@ -116,6 +116,36 @@ def main():
               reps=reps),
     )
 
+    # the SHIPPING streaming step (split-buffer fast path: split-input
+    # detect kernel + two-source Pallas window gather, no materialized
+    # [hist | x] buffer -- modem.rx.rx_block_split)
+    from tpu_ofdm.kernels.sc_detect import hist_tile_len
+    from tpu_ofdm.modem.rx import rx_block_split
+    from tpu_ofdm.utils.device_io import PackedComplex
+
+    T = hist_tile_len()
+    Z = T - H
+    hist = x[:H]
+    xs = x[H:]
+
+    import jax.numpy as jnp
+
+    def split_step(xv, hv):
+        hp = PackedComplex(
+            jnp.concatenate([jnp.zeros(Z, jnp.float32),
+                             jnp.real(hv).astype(jnp.float32)]),
+            jnp.concatenate([jnp.zeros(Z, jnp.float32),
+                             jnp.imag(hv).astype(jnp.float32)]),
+        )
+        xe = PackedComplex(jnp.real(xv).astype(jnp.float32),
+                           jnp.imag(xv).astype(jnp.float32))
+        return rx_block_split(spec, hp, xe, K, own_lo=Z, own_hi=Z + S)
+
+    row(
+        "rx_block_split_step",
+        bench(split_step, (xs, hist), reps=reps),
+    )
+
     stage_sum = t_detect + t_demod
     report.add(
         kernel="budget_check",

@@ -87,3 +87,36 @@ def test_sc_detect_rows_interpret_selection_identical():
     np.testing.assert_allclose(np.asarray(sel_g.fine_cfo)[v],
                                np.asarray(sel_r.fine_cfo)[v],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_sc_detect_rows_hist_interpret_matches_concat():
+    """The split-input kernel (streaming fast path: [hist-tile | block]
+    virtually, never materialized) must produce the same row summaries as
+    the concat kernel on the materialized buffer -- including ring carry
+    across the hist->block tile seam and across block tiles."""
+    from tpu_ofdm.kernels.sc_detect import (hist_tile_len,
+                                            sc_detect_rows_hist)
+
+    T = hist_tile_len()
+    S = 2 * T                     # hist tile + two block tiles
+    H = 40960                     # streaming history_len at the default spec
+    rng = np.random.RandomState(9)
+    v = (rng.randn(T + S) + 1j * rng.randn(T + S)).astype(np.complex64) * 0.5
+    v[: T - H] = 0                # front zero pad, as rx_stream lays it out
+    hre = np.real(v[:T]).astype(np.float32)
+    him = np.imag(v[:T]).astype(np.float32)
+    xre = np.real(v[T:]).astype(np.float32)
+    xim = np.imag(v[T:]).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(
+            lambda a, b, c, d: sc_detect_rows_hist(a, b, c, d, 32, 16)
+        )(hre, him, xre, xim)
+        ref = jax.jit(
+            lambda a: sc_detect_rows(a, 32, 16)
+        )(jnp.asarray(v))
+    got = [np.asarray(g) for g in got]
+    ref = [np.asarray(r) for r in ref]
+    assert (got[1] == ref[1]).mean() > 0.99   # argmax ties under noise
+    for i in (0, 2, 3, 4, 5):
+        np.testing.assert_allclose(got[i], ref[i], rtol=1e-5, atol=1e-5)

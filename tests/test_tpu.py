@@ -369,3 +369,52 @@ def test_device_io_packing_round_trip():
     fn = tpu_safe(lambda v: v * (2.0 + 0.0j))
     y = to_host(jax.jit(fn)(maybe_encode(x)))
     np.testing.assert_allclose(np.asarray(y), x * 2.0, rtol=1e-6, atol=1e-6)
+
+
+def test_rx_stream_split_fast_path_on_device():
+    """The SPLIT-BUFFER streaming fast path (block_size a multiple of the
+    detect hist tile => rx_block_split: split-input detect kernel + Pallas
+    two-source window gather, no materialized [hist | x] buffer), compiled
+    on the chip.  Frames placed mid-block, straddling the block seam, and
+    with CFO; payloads, positions, and the CFO estimate asserted -- the
+    same bar as test_rx_stream_loopback_on_device, which exercises the
+    concat path at an unaligned block size."""
+    from tpu_ofdm.config import StreamConfig
+    from tpu_ofdm.kernels.sc_detect import hist_tile_len
+    from tpu_ofdm.modem.rx_stream import (collect_frames, history_len,
+                                          rx_stream_block)
+    from tpu_ofdm.stream.executor import StreamExecutor
+    from tpu_ofdm.utils.device_io import maybe_encode
+    import tests.golden.golden_ofdm as G
+
+    cfg = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk")
+    spec = cfg.spec
+    S = hist_tile_len()          # gate: S % hist_tile_len() == 0
+    sc = StreamConfig(block_size=S, max_frames_per_block=64)
+    rng = np.random.RandomState(6)
+    gp = G.GoldenOfdmParams(fft_len=64, cp_len=16, modulation="qpsk")
+    n = 3 * S
+    stream = (0.02 * (rng.randn(n) + 1j * rng.randn(n))).astype(np.complex64)
+    msgs = [b"fast path mid block", b"fast path straddles seam",
+            b"fast path with cfo"]
+    frames_tx = [G.tx_frame(gp, m, frame_num=i).astype(np.complex64)
+                 for i, m in enumerate(msgs)]
+    pos = [1500, S - len(frames_tx[1]) // 2, S + 30000]
+    cfo = 0.1
+    k = np.arange(len(frames_tx[2]))
+    frames_tx[2] = frames_tx[2] * np.exp(
+        2j * np.pi * cfo * k / spec.fft_len).astype(np.complex64)
+    for f, p in zip(frames_tx, pos):
+        stream[p : p + len(f)] += f
+
+    ex = StreamExecutor(rx_stream_block(spec, sc), S)
+    outs = [ex.push(maybe_encode(stream[b * S : (b + 1) * S]))
+            for b in range(3)]
+    got = collect_frames(outs, S, history_len(spec))
+    ok = [f for f in got if f["crc_ok"]]
+    assert {f["payload"] for f in ok} == set(msgs), got
+    assert len(ok) == 3
+    by_payload = {f["payload"]: f for f in ok}
+    for m, p in zip(msgs, pos):
+        assert abs(by_payload[m]["abs_start"] - p) <= 16, (m, p)
+    assert abs(by_payload[msgs[2]]["fine_cfo"] - cfo) < 1e-2

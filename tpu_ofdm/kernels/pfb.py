@@ -172,8 +172,9 @@ _SYMS_PER_TILE = 128  # rows of N lanes per grid step (tuned on bench chip)
 # hi + lo bf16 halves, z per tile, and a@b ~= ah@bh + ah@bl + al@bh with f32
 # accumulation -- ~2^-16 relative error, far inside the chain's 2e-4 golden
 # tolerance, at half HIGHEST's MXU cost.  The (mt,N)@(N,N) DFT at N=512 is
-# compute-significant (4096 flop/sample), so this is the difference between
-# 5.2 and ~7 Gsamp/s on the bench chip (BASELINE.md).
+# compute-significant (4096 flop/sample), so the split is worth ~35% of
+# kernel throughput (measured 2026-08-20; current numbers live in
+# bench/results_kernels_tpu.json, row channelize_stream512).
 
 
 def _mats_wide(taps: np.ndarray, n_chan: int):

@@ -68,7 +68,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-_ROWS_PER_TILE = 1024  # 128k-sample tiles (tie-break wrap handled in-kernel)
+# 64k-sample tiles: 1024-row tiles measured only ~0.6% faster (2026-08-21),
+# and the smaller tile keeps the split-input history tile (hist_tile_len)
+# small and the block-alignment gate in modem.rx_stream permissive; the
+# tie-break wrap is handled in-kernel for any rpt.
+_ROWS_PER_TILE = 512
 _NSPLIT = 2  # bf16 planes per f32 source (see Precision in module doc)
 
 
@@ -137,15 +141,28 @@ def _split_bf16(x, n: int):
     return outs
 
 
-def _kernel(L: int, W: int, c: int, rpt: int, nv: int,
-            xre, xim, rhs_p, rhs_e, rhs_m,
-            rows_o,
-            in_ring, s_ring, m_ring, w_ring):
+def _kernel(L: int, W: int, c: int, rpt: int, nv: int, split_inputs: bool,
+            *refs):
     """Rings hold the last rows of [input re/im] (for the L-lag of x),
     [the 3 f32 product streams] (for banded row shifts), [M] (for the sm
     band), and [P_re, P_im, R2 window arrays] (for the plateau-center lag),
     each flattened to 2-D (Mosaic SIGABRTs on 3-D VMEM scratch RMW, see
-    module doc)."""
+    module doc).
+
+    split_inputs=False: refs = (xre, xim, rhs_p, rhs_e, rhs_m, rows_o,
+    rings...) over one contiguous buffer.  split_inputs=True: refs =
+    (hre, him, xre, xim, rhs..., ...): tile 0 comes from the one-tile
+    history buffer and tiles 1.. from the block buffer -- the streaming RX
+    uses this so the [history | block] buffer is never materialized (the
+    concat write + re-read cost ~1.5 ms/step at 2^25, measured 2026-08-21);
+    both blocks are DMA'd per step but constant index maps make Pallas
+    cache them, so the only extra cost is one select per plane."""
+    if split_inputs:
+        (hre, him, xre, xim, rhs_p, rhs_e, rhs_m,
+         rows_o, in_ring, s_ring, m_ring, w_ring) = refs
+    else:
+        (xre, xim, rhs_p, rhs_e, rhs_m,
+         rows_o, in_ring, s_ring, m_ring, w_ring) = refs
     it = pl.program_id(1)
     qL, sL = divmod(L, LANE)
     qc, sc_ = divmod(c, LANE)
@@ -161,7 +178,12 @@ def _kernel(L: int, W: int, c: int, rpt: int, nv: int,
         m_ring[...] = jnp.zeros(m_ring.shape, m_ring.dtype)
         w_ring[...] = jnp.zeros(w_ring.shape, w_ring.dtype)
 
-    a_re, a_im = xre[0], xim[0]                      # (R, 128)
+    if split_inputs:
+        first = it == 0
+        a_re = jnp.where(first, hre[0], xre[0])      # (R, 128)
+        a_im = jnp.where(first, him[0], xim[0])
+    else:
+        a_re, a_im = xre[0], xim[0]                  # (R, 128)
     r = a_re.shape[0]
 
     prev_in = in_ring[...].reshape(2, qL + 1, LANE)
@@ -303,7 +325,7 @@ def _sc_detect_pallas(re, im, L: int, W: int, c: int, rpt: int, nv: int):
         (1, 6, rpt), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        functools.partial(_kernel, L, W, c, rpt, nv),
+        functools.partial(_kernel, L, W, c, rpt, nv, False),
         grid=(b, rows // rpt),
         in_specs=[in_spec, in_spec] + rhs_specs,
         out_specs=[out_spec],
@@ -323,22 +345,134 @@ def _sc_detect_pallas(re, im, L: int, W: int, c: int, rpt: int, nv: int):
       jnp.asarray(rhs_m, jnp.bfloat16))
 
 
-def sc_detect_rows(r: jnp.ndarray, L: int, cp: int):
-    """Row summaries (smmax, smarg, pre, pim, r_at, rmax) for a complex64
-    sample block r (..., n), each (..., ceil(n/128)); fed to
-    ops.sync._select_from_rows.  Trailing-window indexing (see module doc);
-    candidates in the zero-padded tail rows carry sm ~= tie-break only and
-    are masked by the selection's ps-range check."""
+@functools.partial(jax.jit, static_argnames=("L", "W", "c"))
+def _sc_detect_pallas_hist(hre, him, re, im, L: int, W: int, c: int):
+    """Split-input form for the streaming RX: hre/him are ONE tile
+    (_ROWS_PER_TILE, 128) of [front-zero-pad | history] planes, re/im the
+    (rows, 128) block planes with rows % _ROWS_PER_TILE == 0.  Equivalent
+    to _sc_detect_pallas over the concatenated buffer -- without ever
+    building it."""
+    rpt = _ROWS_PER_TILE
+    rows, _ = re.shape
+    assert hre.shape == (rpt, LANE), hre.shape
+    assert rows % rpt == 0, (rows, rpt)
+    qL, qc = L // LANE, c // LANE
+    ks_e = _ks_for([(L, 0), (L, L)])
+    k1 = max(ks_e)
+    ks_m = _ks_for([(W, 0)])
+    km = max(1, *ks_m)
+    rhs_p = np.tile(_band_rhs([(L, 0)], _ks_for([(L, 0)])), (_NSPLIT, 1))
+    rhs_e = np.tile(_band_rhs([(L, 0), (L, L)], ks_e), (_NSPLIT, 1))
+    rhs_m = np.tile(_band_rhs([(W, 0)], ks_m), (_NSPLIT, 1))
+    n_tiles = 1 + rows // rpt
+    nv = n_tiles * rpt * LANE  # fully aligned: the tail mask never bites
+    h_spec = pl.BlockSpec(
+        (1, rpt, LANE), lambda ib, it: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    x_spec = pl.BlockSpec(
+        (1, rpt, LANE),
+        lambda ib, it: (0, jnp.maximum(it - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    rhs_specs = [
+        pl.BlockSpec(t.shape, lambda ib, it: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for t in (rhs_p, rhs_e, rhs_m)
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 6, rpt), lambda ib, it: (ib, 0, it), memory_space=pltpu.VMEM
+    )
+    (packed,) = pl.pallas_call(
+        functools.partial(_kernel, L, W, c, rpt, nv, True),
+        grid=(1, n_tiles),
+        in_specs=[h_spec, h_spec, x_spec, x_spec] + rhs_specs,
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((1, 6, n_tiles * rpt), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2 * (qL + 1), LANE), jnp.float32),
+            pltpu.VMEM((3 * k1, LANE), jnp.float32),
+            pltpu.VMEM((km, LANE), jnp.float32),
+            pltpu.VMEM((3 * (qc + 1), LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(hre.reshape(1, rpt, LANE), him.reshape(1, rpt, LANE),
+      re.reshape(1, rows, LANE), im.reshape(1, rows, LANE),
+      jnp.asarray(rhs_p, jnp.bfloat16),
+      jnp.asarray(rhs_e, jnp.bfloat16),
+      jnp.asarray(rhs_m, jnp.bfloat16))
+    return packed
+
+
+def hist_tile_len() -> int:
+    """Sample capacity of the split-input history tile (front-zero-padded
+    by the caller to exactly this length)."""
+    return _ROWS_PER_TILE * LANE
+
+
+def sc_detect_rows_hist(hre, him, re, im, L: int, cp: int):
+    """Row summaries over the VIRTUAL buffer [hist_tile | block] without
+    materializing it (split-input kernel; streaming RX fast path).  hre/him:
+    (hist_tile_len(),) f32; re/im: (n,) f32 with n % hist_tile_len() == 0.
+    Positions are in virtual-buffer coordinates (hist tile first)."""
+    assert cp - cp // 2 <= L
+    rpt = _ROWS_PER_TILE
+    n = re.shape[-1]
+    assert n % (rpt * LANE) == 0, n
+    assert n + rpt * LANE < (1 << 30)
+    packed = _sc_detect_pallas_hist(
+        hre.reshape(rpt, LANE), him.reshape(rpt, LANE),
+        re.reshape(-1, LANE), im.reshape(-1, LANE),
+        L, cp + 1, cp - cp // 2,
+    )
+    rows = packed.shape[-1]
+    out = lambda i: packed[0, i, :]
+    smarg = (
+        jnp.arange(rows, dtype=jnp.int32) * LANE + out(1).astype(jnp.int32)
+    )
+    return (out(0), smarg, out(2), out(3), out(4), out(5))
+
+
+def detect_aligned_len(n: int) -> int:
+    """Smallest n' >= n at which sc_detect_rows' input needs ZERO padding,
+    so the wrapper's jnp.pad is elided instead of copying the whole plane
+    (measured 2026-08-21: the pad copy cost ~1.4 ms/step at 2^25+history in
+    the streaming RX -- callers that control the buffer length should
+    zero-extend to this length in the concat that builds it, which is
+    free)."""
+    rows = -(-n // LANE)
+    rows16 = -(-rows // 16) * 16
+    if rows16 <= _ROWS_PER_TILE:
+        return rows16 * LANE
+    return -(-rows // _ROWS_PER_TILE) * _ROWS_PER_TILE * LANE
+
+
+def sc_detect_rows(r, L: int, cp: int):
+    """Row summaries (smmax, smarg, pre, pim, r_at, rmax) for a sample
+    block r (..., n) -- complex64 or a device_io.PackedComplex of (re, im)
+    f32 planes -- each output (..., ceil(n/128)); fed to
+    ops.sync._select_from_rows.  The plane form is the zero-copy TPU path
+    (the kernel consumes f32 planes anyway).  Trailing-window indexing (see
+    module doc); candidates in the zero-padded tail rows carry sm ~=
+    tie-break only and are masked by the selection's ps-range check."""
+    from tpu_ofdm.utils.device_io import PackedComplex
+
     W = cp + 1
     c = cp - cp // 2
-    lead = r.shape[:-1]
-    n = r.shape[-1]
+    if isinstance(r, PackedComplex):
+        re0, im0 = r.re, r.im
+    else:
+        r = r.astype(jnp.complex64)
+        re0 = jnp.real(r).astype(jnp.float32)
+        im0 = jnp.imag(r).astype(jnp.float32)
+    lead = re0.shape[:-1]
+    n = re0.shape[-1]
     b = 1
     for d in lead:
         b *= d
-    rb = r.reshape(b, n)
-    re = jnp.real(rb).astype(jnp.float32)
-    im = jnp.imag(rb).astype(jnp.float32)
+    re = re0.reshape(b, n)
+    im = im0.reshape(b, n)
 
     # 2^30, not full int32 range: ops.sync._select_from_rows marks invalid
     # candidates with the sentinel big = 1 << 30, so a genuine position at

@@ -154,7 +154,7 @@ class RxBlockResult(NamedTuple):
 
 def rx_block(
     spec: OfdmSpec,
-    samples: jnp.ndarray,    # (n,) extended block: [history | new samples]
+    samples,                 # (n,) extended block: [history | new samples]
     max_frames: int,
     own_lo: int = 0,
     own_hi: int | None = None,
@@ -167,22 +167,107 @@ def rx_block(
     it are accepted -- the streaming executor uses this to deduplicate
     detections across overlapping blocks (SURVEY.md §7 hard part 2's
     ownership rule, single-shard version).
+
+    `samples` may be complex64 (n,) or a device_io.PackedComplex of two
+    (n,) f32 planes.  The plane form is the TPU fast path: detection and
+    the per-slot window gathers read the f32 planes directly, and complex
+    is only ever built on the small (max_frames, max_frame_len) windows --
+    the whole-buffer complex materialize + re-extract passes measured at
+    ~1.5 ms/step at 2^25 (bench/step_budget.py, 2026-08-21) disappear.
     """
-    n = samples.shape[0]
+    from tpu_ofdm.utils.device_io import PackedComplex
+
+    if isinstance(samples, PackedComplex):
+        s_re, s_im = samples.re, samples.im
+    else:
+        s_re = jnp.real(samples).astype(jnp.float32)
+        s_im = jnp.imag(samples).astype(jnp.float32)
+    n = s_re.shape[0]
     if own_hi is None:
         own_hi = n
-    det: Detections = detect_frames(spec, samples, max_frames)
+    det: Detections = detect_frames(
+        spec, PackedComplex(s_re, s_im), max_frames
+    )
     owned = det.valid & (det.start >= own_lo) & (det.start < own_hi)
     # clamp gather so invalid slots still index safely
-    max_start = max(n - spec.max_frame_len, 0)
+    F = spec.max_frame_len
+    max_start = max(n - F, 0)
     gstart = jnp.clip(det.start, 0, max_start)
 
-    def one(start, cfo):
-        win = jax.lax.dynamic_slice(samples, (start,), (spec.max_frame_len,))
-        win = derotate(win, cfo, spec.fft_len)
-        return demod_frame(spec, win, equalizer=equalizer, output=output)
+    from tpu_ofdm.kernels import scan as kscan
+    from tpu_ofdm.kernels import gather as kgather
 
-    frames = jax.vmap(one)(gstart, det.fine_cfo)
+    if (kscan.use_pallas() and max_frames >= 64 and n >= (1 << 17)
+            and kgather.supported(n) and n - F >= 0):
+        # slot-window gather as one double-buffered Pallas DMA chain: the
+        # vmapped dynamic_slice on the big buffer costs ~2.7 us PER SLOT
+        # (~1.3 ms at K=480) however it is phrased (kernels/gather.py doc);
+        # gated to the large-block many-slot streaming shape -- the sharded
+        # paths vmap rx_block over channels with K <= 8, where the XLA
+        # slices are cheap and a pallas_call under vmap is untested.
+        wins = kgather.gather_windows(s_re, s_im, gstart, F)
+        frames = jax.vmap(
+            lambda win, cfo: demod_frame(
+                spec, derotate(win, cfo, spec.fft_len),
+                equalizer=equalizer, output=output)
+        )(wins, det.fine_cfo)
+    else:
+        def one(start, cfo):
+            win = (jax.lax.dynamic_slice(s_re, (start,), (F,))
+                   + 1j * jax.lax.dynamic_slice(s_im, (start,), (F,))
+                   ).astype(jnp.complex64)
+            win = derotate(win, cfo, spec.fft_len)
+            return demod_frame(spec, win, equalizer=equalizer, output=output)
+
+        frames = jax.vmap(one)(gstart, det.fine_cfo)
     # a slot is valid only if owned AND acquisition confirmed AND header ok
+    valid = owned & frames.sync_ok & frames.hdr_ok
+    return RxBlockResult(frames, det.start, det.fine_cfo, valid)
+
+
+def rx_block_split(
+    spec: OfdmSpec,
+    hist_planes,             # PackedComplex, (hist_tile_len(),) planes
+    x_planes,                # PackedComplex, (S,) planes, S % tile == 0
+    max_frames: int,
+    own_lo: int,
+    own_hi: int,
+    equalizer: str = "pilot_phase",
+    output: str = "hard",
+) -> RxBlockResult:
+    """rx_block over the VIRTUAL buffer [hist_tile | block] without ever
+    materializing it (TPU streaming fast path): detection runs the
+    split-input Pallas kernel (ops.sync.detect_frames_hist) and the per-slot
+    window gathers run the two-source DMA chain (kernels.gather).  All
+    positions -- own_lo/own_hi in and res.starts out -- are VIRTUAL
+    coordinates (hist tile first).  Semantically identical to rx_block on
+    the concatenated buffer; the concat write + re-read it avoids cost
+    ~1.5 ms/step at 2^25 (measured 2026-08-21, bench/step_budget.py)."""
+    from tpu_ofdm.kernels import gather as kgather
+    from tpu_ofdm.kernels.sc_detect import hist_tile_len
+    from tpu_ofdm.ops.sync import detect_frames_hist
+
+    T = hist_tile_len()
+    S = x_planes.re.shape[-1]
+    F = spec.max_frame_len
+    det = detect_frames_hist(
+        spec, hist_planes.re, hist_planes.im, x_planes.re, x_planes.im,
+        max_frames,
+    )
+    owned = det.valid & (det.start >= own_lo) & (det.start < own_hi)
+    gstart = jnp.clip(det.start, 0, T + S - F)
+
+    # small head buffer covering every window that is not fully inside x
+    sup = kgather.sup_rows_for(F) * 128
+    head_re = jnp.concatenate([hist_planes.re, x_planes.re[:sup]])
+    head_im = jnp.concatenate([hist_planes.im, x_planes.im[:sup]])
+    wins = kgather.gather_windows_two(
+        head_re, head_im, x_planes.re, x_planes.im, gstart, F, x_off=T
+    )
+    frames = jax.vmap(
+        lambda win, cfo: demod_frame(
+            spec, derotate(win, cfo, spec.fft_len),
+            equalizer=equalizer, output=output)
+    )(wins, det.fine_cfo)
     valid = owned & frames.sync_ok & frames.hdr_ok
     return RxBlockResult(frames, det.start, det.fine_cfo, valid)

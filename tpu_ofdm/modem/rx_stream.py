@@ -66,15 +66,69 @@ def rx_stream_block(
         )
 
     def apply(state, x):
+        from tpu_ofdm.kernels import scan as kscan
+        from tpu_ofdm.kernels.sc_detect import hist_tile_len
+        from tpu_ofdm.utils.device_io import PackedComplex, encode
+
         hist, step = state
-        ext = jnp.concatenate([hist, x.astype(jnp.complex64)], axis=-1)
+        T = hist_tile_len()
+        L = spec.fft_len // 2
+        if (kscan.use_pallas() and S % T == 0 and H <= T
+                and L // 128 + 1 < 8):
+            # SPLIT-BUFFER fast path: detection + window gathers run over
+            # the virtual [zeros | hist | x] buffer without materializing
+            # it (modem.rx.rx_block_split).  Virtual coords shift every
+            # position by Z = T - H; ownership and reported starts are
+            # translated so downstream semantics are identical to the
+            # concat path.
+            from tpu_ofdm.modem.rx import rx_block_split
+
+            Z = T - H
+            he = encode(jnp.asarray(hist, dtype=jnp.complex64))
+            xe = encode(jnp.asarray(x, dtype=jnp.complex64))
+            z = jnp.zeros((Z,), jnp.float32)
+            hp = PackedComplex(jnp.concatenate([z, he.re]),
+                               jnp.concatenate([z, he.im]))
+            res = rx_block_split(
+                spec, hp, xe, max_frames=K, own_lo=Z, own_hi=Z + S,
+                equalizer=equalizer, output=output,
+            )
+            res = RxBlockResult(
+                res.frames, res.starts - Z, res.fine_cfo, res.valid
+            )
+            new_hist = (xe.re[S - H:] + 1j * xe.im[S - H:]).astype(
+                jnp.complex64)
+            out = RxStreamOut(res, step)
+            return (new_hist, step + 1), out
+        # per-PLANE concat: the boundary wrapper decodes carried/incoming
+        # planes to complex, so encode() here folds back to the original f32
+        # planes via XLA's real(complex(a,b)) -> a simplification -- the
+        # extended buffer is built and consumed entirely as planes and no
+        # whole-buffer complex64 is ever materialized (bench/step_budget.py
+        # measured the complex round trip at ~1.5 ms/step at 2^25,
+        # 2026-08-21).  Complex is rebuilt only on the small per-slot
+        # windows inside rx_block.
+        he = encode(jnp.asarray(hist, dtype=jnp.complex64))
+        xe = encode(jnp.asarray(x, dtype=jnp.complex64))
+        # zero-extend to the detect kernel's tile-aligned length IN the
+        # same concat: otherwise the kernel wrapper's jnp.pad copies the
+        # whole plane every step (~1.4 ms at 2^25, measured 2026-08-21).
+        # The zero tail can produce no detections (metric 0, under
+        # threshold) and the ownership window is untouched.
+        from tpu_ofdm.kernels.sc_detect import detect_aligned_len
+
+        padz = detect_aligned_len(H + S) - (H + S)
+        z = jnp.zeros((padz,), jnp.float32)
+        ext_re = jnp.concatenate([he.re, xe.re, z], axis=-1)
+        ext_im = jnp.concatenate([he.im, xe.im, z], axis=-1)
         # ownership: starts within [0, S) of ext coords = absolute
         # [step*S - H, step*S - H + S) -- tiles the stream exactly
         res = rx_block(
-            spec, ext, max_frames=K, own_lo=0, own_hi=S,
-            equalizer=equalizer, output=output,
+            spec, PackedComplex(ext_re, ext_im), max_frames=K,
+            own_lo=0, own_hi=S, equalizer=equalizer, output=output,
         )
-        new_hist = ext[S:]
+        new_hist = (ext_re[S:S + H] + 1j * ext_im[S:S + H]).astype(
+            jnp.complex64)
         out = RxStreamOut(res, step)
         return (new_hist, step + 1), out
 

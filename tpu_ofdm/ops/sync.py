@@ -316,7 +316,7 @@ def _detect_rows_jnp(spec: OfdmSpec, r: jnp.ndarray):
 
 def detect_frames(
     spec: OfdmSpec,
-    r: jnp.ndarray,
+    r,
     max_frames: int,
     threshold: float | None = None,
 ) -> Detections:
@@ -326,6 +326,10 @@ def detect_frames(
     points a few samples inside the CP before sync word 1's FFT window
     (deliberate ISI backoff, same rule as the golden model's detect_frame).
 
+    `r` may be complex64 or a device_io.PackedComplex of (re, im) f32
+    planes; the plane form feeds the Pallas kernel directly with no
+    whole-buffer complex round trip (see modem.rx.rx_block).
+
     Structure: per-row (ROW=128 samples) candidate summaries -- max of the
     CP-boxcar-smoothed metric, its position, and P/R at the plateau center
     -- then a shared selection (_select_from_rows) on the ROW-times-smaller
@@ -334,19 +338,44 @@ def detect_frames(
     HBM traffic); elsewhere from full-length jnp arrays.  Replaces the
     reference's ofdm_sync_sc_cfb + plateau_detector stack (SURVEY.md §3.3).
     """
+    from tpu_ofdm.utils.device_io import PackedComplex, decode
+
     if threshold is None:
         threshold = spec.cfg.sync_threshold
     L = spec.fft_len // 2
-    n = r.shape[-1]
+    packed = isinstance(r, PackedComplex)
+    n = (r.re if packed else r).shape[-1]
     n_sm = n - 2 * L - spec.cp_len + 1
     if scan.use_pallas() and n >= (1 << 15) and L // 128 + 1 < 8:
         from tpu_ofdm.kernels.sc_detect import sc_detect_rows
 
-        rows6 = sc_detect_rows(
-            r.astype(jnp.complex64), L, spec.cp_len
-        )
+        rows6 = sc_detect_rows(r, L, spec.cp_len)
     else:
-        rows6 = _detect_rows_jnp(spec, r)
+        rows6 = _detect_rows_jnp(spec, decode(r) if packed else r)
+    return _select_from_rows(
+        spec, *rows6, n_sm=n_sm, max_frames=max_frames, threshold=threshold
+    )
+
+
+def detect_frames_hist(
+    spec: OfdmSpec,
+    hre, him, re, im,
+    max_frames: int,
+    threshold: float | None = None,
+) -> Detections:
+    """detect_frames over the VIRTUAL buffer [hist_tile | block] (split-input
+    Pallas kernel, TPU streaming fast path -- kernels.sc_detect
+    sc_detect_rows_hist).  Positions are virtual-buffer coordinates; the
+    caller translates them to its own frame (modem.rx_stream subtracts the
+    front-pad)."""
+    from tpu_ofdm.kernels.sc_detect import hist_tile_len, sc_detect_rows_hist
+
+    if threshold is None:
+        threshold = spec.cfg.sync_threshold
+    L = spec.fft_len // 2
+    total = hist_tile_len() + re.shape[-1]
+    n_sm = total - 2 * L - spec.cp_len + 1
+    rows6 = sc_detect_rows_hist(hre, him, re, im, L, spec.cp_len)
     return _select_from_rows(
         spec, *rows6, n_sm=n_sm, max_frames=max_frames, threshold=threshold
     )
