@@ -147,6 +147,8 @@ def bench_sync(report: Report, membw: float):
         kernel="schmidl_cox_metric", n=n, sec=sec,
         msamp_s=n / sec / 1e6, gbps=bytes_ / sec / 1e9,
         frac_membw=bytes_ / sec / 1e9 / membw,
+        note="diagnostic API path (materializes full M/P/R streams + local "
+             "energy gate); production detection rides sc_detect_rows",
     )
 
     sec = bench(lambda a: ksync.detect_frames(spec, a, 8), (x,))
