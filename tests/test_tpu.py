@@ -113,18 +113,21 @@ def _detect_rows_both(spec, re, im):
     return got, ref
 
 
-def test_sc_detect_rows_compiled_matches_jnp():
+@pytest.mark.parametrize("fft_len,cp", [(64, 16), (256, 64)])
+def test_sc_detect_rows_compiled_matches_jnp(fft_len, cp):
     """The fused detection kernel (the headline bench's hot stage) vs the
     pure-XLA row summaries, on a multi-tile block with injected frames --
-    exercises the per-tile carry rebasing across tile boundaries."""
+    exercises the ring carry across tile boundaries, and at fft_len=256
+    (L=128) the banded windows' multi-row-shift path (R1's bands ride row
+    shifts {1,2})."""
     import tests.golden.golden_ofdm as G
 
-    cfg = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk")
+    cfg = OfdmConfig(fft_len=fft_len, cp_len=cp, modulation="qpsk")
     spec = cfg.spec
     rng = np.random.RandomState(3)
     n = 3 * (256 * 128) + 4096  # 3 full tiles + ragged tail
     noise = 0.02 * (rng.randn(n) + 1j * rng.randn(n))
-    gp = G.GoldenOfdmParams(fft_len=64, cp_len=16, modulation="qpsk")
+    gp = G.GoldenOfdmParams(fft_len=fft_len, cp_len=cp, modulation="qpsk")
     frame = G.tx_frame(gp, bytes(range(48))).astype(np.complex64)
     x = noise.astype(np.complex64)
     starts = [5000, 40000, 40000 + len(frame), 99000]  # incl. back-to-back
