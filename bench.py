@@ -70,9 +70,9 @@ def make_blocks(spec, n_blocks: int, block_size: int, seed=0):
 def main():
     cfg = OfdmConfig(fft_len=64, cp_len=16, modulation="qpsk")
     spec = cfg.spec
-    # 2^25-sample blocks: the chain has a ~1.3 ms fixed per-step cost
-    # (dispatch + per-fusion launch overhead on this backend,
-    # bench/profile_rx.py), so throughput rises with block size -- measured
+    # 2^25-sample blocks: the chain has a ~1.3-1.8 ms fixed per-step cost
+    # (dispatch + launch overhead on this backend; bench/step_budget.py and
+    # BASELINE.md r5), so throughput rises with block size -- measured
     # 2026-08-20: 1885 Msamp/s at 2^22 -> 3124 at 2^25 -> 3257 at 2^26
     # (bench/_headline_sweep.py); 2^25 keeps step latency ~11 ms and the
     # staged-input footprint ~1 GB.  Frame-slot capacity tracks the injected
